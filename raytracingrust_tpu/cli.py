@@ -1,0 +1,154 @@
+"""Command-line interface.
+
+The reference has NO CLI (its only front-end is the egui window,
+src/main.rs); per SURVEY.md section 5 the TPU build exposes every
+RenderSettings knob (spp, depth, clamp, bvh, mode — lib/core/scene.rs:22-30)
+plus resolution/output/device-mesh options as flags.
+
+    rtrt render scenes/demo.json -o out.png --width 1000 --height 1000
+    rtrt render scene.json --spp 100 --depth 50 --mode Clay --no-bvh
+    rtrt bench scenes/benchmark.json
+    rtrt info scene.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("scene", help="scene JSON (reference-compatible schema)")
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--width", type=int, default=1000)
+    p.add_argument("--height", type=int, default=1000)
+    p.add_argument("--spp", type=int, help="override samples_per_pixel")
+    p.add_argument("--depth", type=int, help="override max_ray_depth")
+    p.add_argument("--clamp", type=float, help="override clamp_indirect")
+    p.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
+    p.add_argument("--bvh", action="store_true", help="force BVH on")
+    p.add_argument("--no-bvh", action="store_true", help="force BVH off")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tile-rays", type=int, default=None,
+                   help="rays per on-device tile")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard rays over all visible devices")
+    p.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+
+
+def _load(args):
+    from .models.scene import SceneBuilder
+
+    builder = SceneBuilder.from_file(args.scene)
+    s = builder.settings
+    overrides = {}
+    if args.spp is not None:
+        overrides["samples_per_pixel"] = args.spp
+    if args.depth is not None:
+        overrides["max_ray_depth"] = args.depth
+    if args.clamp is not None:
+        overrides["clamp_indirect"] = args.clamp
+    if args.mode is not None:
+        overrides["mode"] = args.mode
+    if args.bvh:
+        overrides["enable_bvh_tree"] = True
+    if args.no_bvh:
+        overrides["enable_bvh_tree"] = False
+    builder.settings = dataclasses.replace(s, **overrides)
+    return builder
+
+
+def cmd_render(args) -> int:
+    from .io.png import write_png
+    from .metrics import RenderStats
+
+    builder = _load(args)
+    scene = builder.build()
+    kwargs = {}
+    if args.tile_rays:
+        kwargs["tile_rays"] = args.tile_rays
+
+    stats = RenderStats(args.width, args.height,
+                        scene.settings.samples_per_pixel,
+                        scene.settings.max_ray_depth)
+    t0 = time.perf_counter()
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
+    if args.sharded:
+        from .parallel.sharding import render_sharded
+        img = render_sharded(scene, args.width, args.height, seed=args.seed)
+    else:
+        from .render.render import render
+        img = render(scene, args.width, args.height, seed=args.seed, **kwargs)
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
+    elapsed = time.perf_counter() - t0
+
+    write_png(args.output, img)
+    # the reference's "Last render took" label (src/gui.rs:330), CLI edition
+    print(f"Last render took {elapsed:.3f}s "
+          f"({stats.mrays_per_s(elapsed):.2f} Mrays/s) -> {args.output}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    builder = _load(args)
+    scene = builder.build()
+    info = {
+        "objects": len(builder.objects),
+        "spheres": len(scene.spheres),
+        "volumes": scene.spheres.num_volumes,
+        "triangles": len(scene.triangles),
+        "materials": len(builder.materials),
+        "bvh_nodes": len(scene.bvh) if scene.bvh is not None else 0,
+        "bvh_depth": scene.bvh.depth if scene.bvh is not None else 0,
+        "settings": builder.settings.to_json(),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py is the single source
+
+    sys.argv = ["bench", "--scene", args.scene]
+    return bench_mod.main()
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="rtrt", description="TPU-native differentiable path tracer"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    _add_render_args(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("info", help="print scene statistics")
+    pi.add_argument("scene")
+    for flag in ("--spp", "--depth"):
+        pi.add_argument(flag, type=int)
+    pi.add_argument("--clamp", type=float)
+    pi.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
+    pi.add_argument("--bvh", action="store_true")
+    pi.add_argument("--no-bvh", action="store_true")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the standard benchmark")
+    pb.add_argument("scene", nargs="?",
+                    default="/root/reference/scenes/benchmark.json")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

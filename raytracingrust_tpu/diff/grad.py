@@ -1,0 +1,87 @@
+"""Differentiable rendering: parameter plumbing + loss/grad helpers.
+
+The renderer is an ordinary JAX program over the Scene pytree, so
+``jax.grad`` works directly; this module provides the bookkeeping for
+selecting WHICH leaves are trainable (BASELINE.json north star: material
+albedo / fuzz / ir, emission, camera pose/FoV, background colors) and
+swapping them into a base scene.
+
+Gradient estimator: reparameterized path gradients with detached discrete
+events (fixed-seed uniforms are constants, sampled directions are smooth in
+the parameters) — AD matches finite differences of the fixed-seed renderer
+away from visibility/branch discontinuities; geometry-edge (silhouette)
+gradients are out of scope (SURVEY.md section 7 hard part b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from ..render.render import render_linear
+
+# Trainable leaf names -> (sub-pytree, field) paths
+PARAM_PATHS = {
+    "albedo": ("materials", "albedo"),
+    "fuzz": ("materials", "fuzz"),
+    "ir": ("materials", "ir"),
+    "emission": ("materials", "emission"),
+    "mix_factor": ("materials", "mix_factor"),
+    "bg_color_a": ("background", "color_a"),
+    "bg_color_b": ("background", "color_b"),
+    "cam_lookfrom": ("camera", "lookfrom"),
+    "cam_lookat": ("camera", "lookat"),
+    "cam_up": ("camera", "vertical"),
+    "cam_fov": ("camera", "vertical_fov"),
+    "sphere_center": ("spheres", "center"),
+    "sphere_radius": ("spheres", "radius"),
+}
+
+
+def extract_params(scene: Scene, names: Iterable[str]) -> dict:
+    """Pull the selected trainable leaves out of a scene -> params dict."""
+    out = {}
+    for name in names:
+        sub, field = PARAM_PATHS[name]
+        out[name] = getattr(getattr(scene, sub), field)
+    return out
+
+
+def apply_params(scene: Scene, params: dict) -> Scene:
+    """Swap trainable leaves back into the scene pytree."""
+    by_sub: dict[str, dict] = {}
+    for name, value in params.items():
+        sub, field = PARAM_PATHS[name]
+        by_sub.setdefault(sub, {})[field] = value
+    for sub, fields in by_sub.items():
+        scene = dataclasses.replace(
+            scene, **{sub: dataclasses.replace(getattr(scene, sub), **fields)}
+        )
+    return scene
+
+
+def make_loss(scene: Scene, target, width: int, height: int, *,
+              seed: int = 0, tile_rays: int = 1 << 16):
+    """-> loss(params) = mean squared error against ``target`` (H, W, 3)
+    linear radiance.  Differentiable in every PARAM_PATHS leaf present in
+    ``params``."""
+    target = jnp.asarray(target)
+
+    def loss(params: dict):
+        s = apply_params(scene, params)
+        img = render_linear(s, width, height, seed=seed, tile_rays=tile_rays)
+        return jnp.mean((img - target) ** 2)
+
+    return loss
+
+
+def render_and_grad(scene: Scene, target, names, width: int, height: int,
+                    *, seed: int = 0):
+    """Convenience: (loss value, grads dict) for the selected params."""
+    loss = make_loss(scene, target, width, height, seed=seed)
+    params = extract_params(scene, names)
+    return jax.value_and_grad(loss)(params)

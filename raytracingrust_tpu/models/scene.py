@@ -1,0 +1,353 @@
+"""Scene model: SoA geometry pytree, authoring builder, JSON (de)serialization.
+
+The reference owns ``Vec<Box<dyn Object>>`` + ``Vec<Box<dyn Material>>``
+behind handle types (lib/core/scene.rs:33-110) and intersects via dynamic
+dispatch.  On TPU the scene is one flat struct-of-arrays pytree living in
+device memory:
+
+  * all spheres in ``(N,)``-shaped arrays (solid spheres and constant-density
+    volume spheres share the array, distinguished by ``neg_inv_density != 0``
+    — the Volume wrapper of lib/volume.rs:19-73 collapses into per-row flags),
+  * all mesh triangles inlined into global ``(T,)`` arrays (no nested per-mesh
+    BVHs — SURVEY.md section 7 stage 2),
+  * one material table (see materials.py),
+  * a flat skip-link BVH over {spheres union triangles} built host-side.
+
+JSON schema is byte-compatible with the reference's serde+typetag format
+(lib/core/traits.rs:17-30), including the Q1 fix: ``clamp_indirect`` defaults
+to 10.0 when missing (the two shipped scenes predate the field and the
+reference panics on them — SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.pytree import pytree_dataclass, static_field
+from .backgrounds import Background
+from .camera import Camera
+from .materials import (
+    AnyMaterial,
+    MaterialTable,
+    build_table,
+    material_from_json,
+    material_to_json,
+)
+from .mesh import Mesh
+
+# Render modes (lib/core/scene.rs:14-20)
+MODE_FULL = "Full"
+MODE_CLAY = "Clay"
+MODE_RANDOM = "Random"
+MODE_NORMAL = "Normal"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """RenderSettings (lib/core/scene.rs:22-30) with the reference defaults
+    (lib/core/scene.rs:52-65).  ``enable_multithreading`` is kept for schema
+    parity; on TPU everything is data-parallel regardless."""
+
+    samples_per_pixel: int = 5
+    max_ray_depth: int = 6
+    clamp_indirect: float = 10.0
+    enable_multithreading: bool = True
+    enable_bvh_tree: bool = True
+    mode: str = MODE_FULL
+
+    def to_json(self) -> dict:
+        return {
+            "samples_per_pixel": self.samples_per_pixel,
+            "max_ray_depth": self.max_ray_depth,
+            "clamp_indirect": self.clamp_indirect,
+            "enable_multithreading": self.enable_multithreading,
+            "enable_bvh_tree": self.enable_bvh_tree,
+            "mode": self.mode,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "RenderSettings":
+        return RenderSettings(
+            samples_per_pixel=int(d["samples_per_pixel"]),
+            max_ray_depth=int(d["max_ray_depth"]),
+            clamp_indirect=float(d.get("clamp_indirect", 10.0)),  # Q1 default
+            enable_multithreading=bool(d.get("enable_multithreading", True)),
+            enable_bvh_tree=bool(d.get("enable_bvh_tree", True)),
+            mode=str(d.get("mode", MODE_FULL)),
+        )
+
+
+@pytree_dataclass
+class SphereArray:
+    """All spheres, volume-boundary spheres LAST (rows are partitioned at
+    build time so each volume has a static ordinal for its RNG stream —
+    the reference draws one uniform per Volume::hit, lib/volume.rs:57)."""
+
+    center: jnp.ndarray           # (N, 3)
+    radius: jnp.ndarray           # (N,)
+    material: jnp.ndarray         # (N,) i32 MaterialHandle
+    neg_inv_density: jnp.ndarray  # (N,) 0.0 = solid; else -1/density (volume)
+    num_volumes: int = static_field(default=0)
+
+    def __len__(self):
+        return self.center.shape[0]
+
+    @property
+    def num_solid(self) -> int:
+        return self.center.shape[0] - self.num_volumes
+
+
+@pytree_dataclass
+class TriangleArray:
+    v0: jnp.ndarray        # (T, 3)
+    e1: jnp.ndarray        # (T, 3) v1 - v0 (Moller-Trumbore edge)
+    e2: jnp.ndarray        # (T, 3) v2 - v0
+    normal: jnp.ndarray    # (T, 3) reference face normal (flat shading, Q6)
+    material: jnp.ndarray  # (T,) i32
+
+    def __len__(self):
+        return self.v0.shape[0]
+
+
+@pytree_dataclass
+class FlatBVH:
+    """The linearized BVH the reference left unfinished
+    (``LinearBvhTree``, lib/core/bvh.rs:201-293, all commented out).
+
+    DFS-ordered node array with skip links for stackless traversal:
+      * ``hit_link[i]``  — next node when node i's AABB is hit
+                           (its first child, or for leaves the skip link),
+      * ``miss_link[i]`` — next node when missed (DFS skip over the subtree),
+      * ``prim[i]``      — global primitive id for leaves, -1 for inner nodes.
+    Global primitive ids: [0, N) spheres, [N, N+T) triangles.
+    Traversal terminates at node index == num_nodes.
+    """
+
+    node_min: jnp.ndarray   # (K, 3)
+    node_max: jnp.ndarray   # (K, 3)
+    prim: jnp.ndarray       # (K,) i32
+    hit_link: jnp.ndarray   # (K,) i32
+    miss_link: jnp.ndarray  # (K,) i32
+    depth: int = static_field(default=0)  # tree depth (static traversal bound)
+
+    def __len__(self):
+        return self.node_min.shape[0]
+
+
+@pytree_dataclass
+class Scene:
+    camera: Camera
+    background: Background
+    spheres: SphereArray
+    triangles: TriangleArray
+    materials: MaterialTable
+    bvh: Optional[FlatBVH]
+    settings: RenderSettings = static_field(default=RenderSettings())
+
+    @property
+    def num_primitives(self) -> int:
+        return len(self.spheres) + len(self.triangles)
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        SceneBuilder.from_scene_json(self.to_json()).save(path)
+
+    def to_json(self) -> dict:
+        raise NotImplementedError(
+            "device Scene is write-only; keep the SceneBuilder around for "
+            "serialization (meshes are flattened on device)"
+        )
+
+
+class SceneBuilder:
+    """Host-side authoring API mirroring the reference Scene's
+    add_object/add_material handle workflow (lib/core/scene.rs:88-110),
+    finalized into the device SoA pytree with ``build()``."""
+
+    def __init__(self):
+        self.camera = Camera.default()
+        self.settings = RenderSettings()
+        self.background = Background.uniform((0.8, 0.8, 0.8))  # default bg
+        self.materials: list[AnyMaterial] = []
+        # object records, in insertion order (for serialization parity)
+        self.objects: list[dict] = []
+
+    # -- authoring ----------------------------------------------------------
+    def add_material(self, material: AnyMaterial) -> int:
+        """-> MaterialHandle (lib/core/scene.rs:96-99)."""
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    def add_sphere(self, center, radius: float, material: int) -> int:
+        self.objects.append({
+            "kind": "sphere", "center": tuple(center),
+            "radius": float(radius), "material": int(material),
+        })
+        return len(self.objects) - 1
+
+    def add_mesh(self, mesh: Mesh) -> int:
+        self.objects.append({"kind": "mesh", "mesh": mesh})
+        return len(self.objects) - 1
+
+    def add_volume(self, boundary_index: int, density: float) -> int:
+        """Wrap a previously added sphere in a constant-density medium
+        (Volume::new, lib/volume.rs:25-31).  The boundary object stops being
+        a solid surface and becomes the medium boundary."""
+        rec = self.objects[boundary_index]
+        if rec["kind"] != "sphere":
+            raise NotImplementedError("volume boundaries must be spheres")
+        rec["neg_inv_density"] = -1.0 / float(density)
+        return boundary_index
+
+    # -- build --------------------------------------------------------------
+    def build(self, with_bvh: Optional[bool] = None) -> Scene:
+        f32, i32 = np.float32, np.int32
+        centers, radii, smats, nids = [], [], [], []
+        tv0, te1, te2, tn, tmats = [], [], [], [], []
+        for rec in self.objects:
+            if rec["kind"] == "sphere":
+                centers.append(rec["center"])
+                radii.append(rec["radius"])
+                smats.append(rec["material"])
+                nids.append(rec.get("neg_inv_density", 0.0))
+            elif rec["kind"] == "mesh":
+                mesh: Mesh = rec["mesh"]
+                v0, e1, e2, n = mesh.triangle_soa()
+                tv0.append(v0); te1.append(e1); te2.append(e2); tn.append(n)
+                tmats.append(np.full(len(v0), mesh.material, i32))
+
+        centers = np.asarray(centers, f32).reshape(-1, 3)
+        radii = np.asarray(radii, f32)
+        smats = np.asarray(smats, i32)
+        nids = np.asarray(nids, f32)
+        # stable-partition: solid spheres first, volume boundaries last
+        order = np.argsort(nids != 0.0, kind="stable")
+        num_volumes = int(np.count_nonzero(nids != 0.0))
+        spheres = SphereArray(
+            center=jnp.asarray(centers[order]),
+            radius=jnp.asarray(radii[order]),
+            material=jnp.asarray(smats[order]),
+            neg_inv_density=jnp.asarray(nids[order]),
+            num_volumes=num_volumes,
+        )
+        cat = lambda xs, d: (
+            np.concatenate(xs, axis=0) if xs else np.zeros((0,) + d, f32)
+        )
+        triangles = TriangleArray(
+            v0=jnp.asarray(cat(tv0, (3,))),
+            e1=jnp.asarray(cat(te1, (3,))),
+            e2=jnp.asarray(cat(te2, (3,))),
+            normal=jnp.asarray(cat(tn, (3,))),
+            material=jnp.asarray(
+                np.concatenate(tmats) if tmats else np.zeros(0, i32)
+            ),
+        )
+
+        if with_bvh is None:
+            with_bvh = self.settings.enable_bvh_tree
+        bvh = None
+        if with_bvh:
+            from ..ops.bvh import build_bvh
+            bvh = build_bvh(spheres, triangles)
+
+        return Scene(
+            camera=self.camera,
+            background=self.background,
+            spheres=spheres,
+            triangles=triangles,
+            materials=build_table(self.materials),
+            bvh=bvh,
+            settings=self.settings,
+        )
+
+    # -- JSON ---------------------------------------------------------------
+    def to_json(self) -> dict:
+        objs = []
+        for rec in self.objects:
+            if rec["kind"] == "sphere":
+                sphere = {
+                    "type": "Sphere",
+                    "center": {"x": rec["center"][0], "y": rec["center"][1],
+                               "z": rec["center"][2]},
+                    "radius": rec["radius"],
+                    "material": rec["material"],
+                }
+                if rec.get("neg_inv_density", 0.0) != 0.0:
+                    objs.append({
+                        "type": "Volume", "boundary": sphere,
+                        "neg_inv_density": rec["neg_inv_density"],
+                    })
+                else:
+                    objs.append(sphere)
+            elif rec["kind"] == "mesh":
+                mesh: Mesh = rec["mesh"]
+                # The reference PANICS on mesh serialization
+                # (lib/core/mesh.rs:40-60).  We serialize the source path —
+                # a strict superset of the reference schema.
+                objs.append({"type": "Mesh", "path": mesh.path,
+                             "material": mesh.material,
+                             "smooth": mesh.smooth})
+        return {
+            "camera": self.camera.to_json(),
+            "settings": self.settings.to_json(),
+            "background": self.background.to_json(),
+            "objects": objs,
+            "materials": [material_to_json(m) for m in self.materials],
+        }
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
+
+    @staticmethod
+    def from_json(d: dict) -> "SceneBuilder":
+        b = SceneBuilder()
+        b.camera = Camera.from_json(d["camera"])
+        b.settings = RenderSettings.from_json(d["settings"])
+        b.background = Background.from_json(d["background"])
+        b.materials = [material_from_json(m) for m in d["materials"]]
+
+        def add_object(o: dict, neg_inv_density: float = 0.0):
+            t = o["type"]
+            if t == "Sphere":
+                c = o["center"]
+                b.objects.append({
+                    "kind": "sphere",
+                    "center": (c["x"], c["y"], c["z"]),
+                    "radius": float(o["radius"]),
+                    "material": int(o["material"]),
+                    "neg_inv_density": neg_inv_density,
+                })
+            elif t == "Volume":
+                add_object(o["boundary"],
+                           neg_inv_density=float(o["neg_inv_density"]))
+            elif t == "Mesh":
+                b.objects.append({
+                    "kind": "mesh",
+                    "mesh": Mesh.from_file(o["path"], int(o["material"]),
+                                           bool(o.get("smooth", False))),
+                })
+            else:
+                raise ValueError(f"unknown object type {t!r}")
+
+        for o in d["objects"]:
+            add_object(o)
+        return b
+
+    # alias used by Scene.save
+    from_scene_json = from_json
+
+    @staticmethod
+    def from_file(path: str) -> "SceneBuilder":
+        """Scene::from_file (lib/core/scene.rs:74-76), without the unwrap."""
+        with open(path) as f:
+            return SceneBuilder.from_json(json.load(f))
+
+
+def load_scene(path: str, with_bvh: Optional[bool] = None) -> Scene:
+    return SceneBuilder.from_file(path).build(with_bvh=with_bvh)

@@ -1,0 +1,123 @@
+"""Wavefront path-tracing integrator.
+
+The reference's recursive ``trace_ray`` (lib/core/render.rs:32-59) becomes an
+iterative ``lax.scan`` over bounce depth on a dense wavefront of rays:
+
+    throughput *= attenuation        (the recursion's multiply chain)
+    radiance   += throughput * L     (on miss -> background; on terminal
+                                      material -> its attenuation)
+    depth cutoff -> contributes 0    (depth >= max_ray_depth returns black)
+
+Dead rays stay in their lanes with masked updates — TPU lanes want identical
+control flow; compaction happens at the Pallas layer, not here.  The scan has
+a static trip count so reverse-mode AD works (a while_loop would be faster on
+early termination but is not differentiable).
+
+Differentiability: radiance is differentiable w.r.t. material albedo / fuzz /
+ir / emission, background colors, and camera parameters through the
+throughput chain; sampled directions and discrete choices are detached
+(detached-sampling estimator, BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models import scene as S
+from ..ops import shade as shade_ops
+from ..ops.intersect import intersect_brute
+from ..ops.traverse import intersect_bvh
+from ..utils import rng, vec
+from ..utils.types import T_MIN
+
+# per-ray key fold_in streams: 0 = pixel jitter, 1 + b = bounce b
+JITTER_STREAM = 0
+
+
+def bounce_stream(b):
+    return 1 + b
+
+
+def closest_hit(scene: S.Scene, o, d, u_vol):
+    """World hit — BVH or linear scan, per settings.enable_bvh_tree
+    (lib/core/render.rs:68-72)."""
+    if scene.settings.enable_bvh_tree and scene.bvh is not None:
+        return intersect_bvh(scene, o, d, u_vol, tmin=T_MIN)
+    return intersect_brute(scene, o, d, u_vol, tmin=T_MIN)
+
+
+def trace_paths(scene: S.Scene, o, d, keys):
+    """Trace a wavefront to completion -> per-ray radiance (R, 3).
+
+    ``keys``: per-ray PRNG keys (from rng.ray_keys on global ray ids).
+    """
+    settings = scene.settings
+    mode = settings.mode
+    n_vol = scene.spheres.num_volumes
+    n_uniforms = shade_ops.N_SHADE_UNIFORMS + n_vol
+
+    if mode in (S.MODE_NORMAL, S.MODE_RANDOM):
+        # single intersection, no scatter chain (lib/core/render.rs:42-49)
+        if settings.max_ray_depth <= 0:
+            return jnp.zeros_like(o)
+        u = rng.bounce_uniforms(keys, bounce_stream(0), n_uniforms)
+        hit = closest_hit(scene, o, d, u[:, shade_ops.N_SHADE_UNIFORMS:])
+        bg = scene.background.sample(d)
+        if mode == S.MODE_RANDOM:
+            return jnp.where(hit.hit[..., None], 0.0, bg)
+        ncol = 0.5 * (vec.normalize(hit.normal) + 1.0)
+        return jnp.where(hit.hit[..., None], ncol, bg)
+
+    clay = mode == S.MODE_CLAY
+
+    def bounce(carry, b):
+        o, d, throughput, radiance, alive = carry
+        u = rng.bounce_uniforms(keys, bounce_stream(b), n_uniforms)
+        u_vol = u[:, shade_ops.N_SHADE_UNIFORMS:]
+        hit = closest_hit(scene, o, d, u_vol)
+
+        missed = alive & ~hit.hit
+        radiance = radiance + jnp.where(
+            missed[..., None], throughput * scene.background.sample(d), 0.0
+        )
+
+        mat_id = shade_ops.resolve_mix(
+            scene.materials, hit.material, u[:, : shade_ops.N_SHADE_UNIFORMS]
+        )
+        atten, new_dir, scatters = shade_ops.scatter(
+            scene.materials, mat_id, d, hit.normal, hit.front_face,
+            u[:, : shade_ops.N_SHADE_UNIFORMS], clay=clay,
+        )
+        # Reparameterized path gradients: sampled directions are SMOOTH
+        # functions of the parameters given fixed uniforms (metal dir in
+        # fuzz, dielectric refraction in ir, everything in camera pose), so
+        # gradients flow through them; only discrete events (hit ids, branch
+        # choices, masks) are detached.  This makes AD match finite
+        # differences of the fixed-seed renderer away from discontinuities.
+
+        terminal = alive & hit.hit & ~scatters
+        radiance = radiance + jnp.where(
+            terminal[..., None], throughput * atten, 0.0
+        )
+
+        cont = alive & hit.hit & scatters
+        throughput = jnp.where(cont[..., None], throughput * atten, throughput)
+        o = jnp.where(cont[..., None], hit.point, o)
+        d = jnp.where(cont[..., None], new_dir, d)
+        return (o, d, throughput, radiance, cont), None
+
+    init = (
+        o, d,
+        jnp.ones_like(o),       # throughput
+        jnp.zeros_like(o),      # radiance
+        jnp.ones(o.shape[:-1], bool),  # alive
+    )
+    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce, init, jnp.arange(settings.max_ray_depth)
+    )
+    # rays still alive after max_ray_depth bounces contribute black
+    # (lib/core/render.rs:34-36)
+    return radiance

@@ -1,0 +1,106 @@
+"""Render driver: pixel wavefront generation, sample accumulation, tiling.
+
+TPU-native replacement for ``render()`` (lib/core/render.rs:61-127).  The
+rayon per-pixel fan-out becomes a dense ray wavefront: the pixel and
+sample-per-pixel axes are FOLDED INTO ONE ray batch dimension (samples are
+embarrassingly parallel — the reference loops them sequentially per pixel,
+lib/core/render.rs:86-100), traced by the wavefront integrator, then
+mean-reduced over spp.
+
+Per-pixel semantics matched to calculate_pixel (lib/core/render.rs:75-111):
+  * jittered UV: u = (x + U)/ (w-1), v = (y + U)/(h-1)
+  * per-SAMPLE firefly clamp to [0, clamp_indirect] BEFORE averaging
+  * gamma 2 (sqrt of the mean) at the end
+  * RGBA8 write with saturating cast
+
+Large frames are tiled with ``lax.map`` over a static tile count — one
+compile, sequential tile execution, bounded memory (the brute-force
+intersector materializes an (R, N) t-matrix per bounce).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import Scene
+from ..utils import color as color_mod
+from ..utils import rng
+from .integrator import JITTER_STREAM, trace_paths
+
+# Default rays per tile: pixels*spp per lax.map step.  8k rays x ~100 prims
+# of brute-force t-matrix is ~3 MB — deep in VMEM-friendly territory; bump it
+# for small scenes via render(..., tile_rays=...).
+DEFAULT_TILE_RAYS = 8192
+
+
+def pixel_radiance(scene: Scene, pixel_ids, width: int, height: int, key):
+    """Mean clamped radiance for a batch of pixels -> (P, 3).
+
+    ``pixel_ids``: (P,) flat pixel indices (y * width + x).  Every
+    (pixel, sample) pair becomes one ray; RNG is keyed by the global
+    (pixel * spp + sample) id so results are independent of batching/tiling/
+    sharding (SURVEY.md Q10 fix).
+    """
+    spp = scene.settings.samples_per_pixel
+    p = pixel_ids.shape[0]
+
+    ray_ids = pixel_ids[:, None] * spp + jnp.arange(spp)[None, :]  # (P, spp)
+    ray_ids = ray_ids.reshape(-1)
+    pid = jnp.repeat(pixel_ids, spp)
+    x = (pid % width).astype(jnp.float32)
+    y = (pid // width).astype(jnp.float32)
+
+    keys = rng.ray_keys(key, ray_ids)
+    jitter = rng.stream_uniform(keys, JITTER_STREAM, (2,))
+    u = (x + jitter[:, 0]) / (width - 1)
+    v = (y + jitter[:, 1]) / (height - 1)
+
+    o, d = scene.camera.get_rays(u, v)
+    radiance = trace_paths(scene, o, d, keys)
+
+    # firefly clamp per sample (lib/core/render.rs:95-97), then mean
+    radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
+    return radiance.reshape(p, spp, 3).mean(axis=1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_pixels"))
+def _render_tiled(scene: Scene, width: int, height: int, tile_pixels: int,
+                  key):
+    n_pixels = width * height
+    n_tiles = math.ceil(n_pixels / tile_pixels)
+    padded = n_tiles * tile_pixels
+    pixel_ids = jnp.arange(padded, dtype=jnp.int32) % n_pixels  # pad wraps
+    tiles = pixel_ids.reshape(n_tiles, tile_pixels)
+
+    mean = jax.lax.map(
+        lambda ids: pixel_radiance(scene, ids, width, height, key), tiles
+    )
+    return mean.reshape(padded, 3)[:n_pixels].reshape(height, width, 3)
+
+
+def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
+                  tile_rays: int = DEFAULT_TILE_RAYS) -> jnp.ndarray:
+    """Full frame -> (H, W, 3) f32 MEAN radiance (clamped, pre-gamma).
+
+    This is the differentiable quantity — inverse rendering optimizes
+    against it (gamma/u8 quantization stay out of the loss).
+    """
+    spp = scene.settings.samples_per_pixel
+    tile_pixels = max(1, tile_rays // max(spp, 1))
+    tile_pixels = min(tile_pixels, width * height)
+    return _render_tiled(scene, width, height, tile_pixels,
+                         rng.base_key(seed))
+
+
+def render(scene: Scene, width: int, height: int, *, seed: int = 0,
+           tile_rays: int = DEFAULT_TILE_RAYS) -> np.ndarray:
+    """Full frame -> (H, W, 4) u8 RGBA, gamma-corrected — the
+    ``RenderTarget`` byte layout (lib/core/render.rs:14-30, 103-110)."""
+    mean = render_linear(scene, width, height, seed=seed, tile_rays=tile_rays)
+    gamma = jnp.sqrt(jnp.maximum(mean, 0.0))
+    return np.asarray(color_mod.to_rgba8(gamma))
