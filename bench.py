@@ -48,9 +48,25 @@ def main(argv=None) -> int:
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); note the env var "
+                         "JAX_PLATFORMS is ignored by the axon TPU plugin")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    # Persistent compile cache: first-ever compile of the bench graphs over
+    # the TPU tunnel takes minutes; subsequent runs (e.g. the driver's) hit
+    # this cache and start in seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from raytracingrust_tpu.diff.grad import apply_params, extract_params
@@ -66,7 +82,9 @@ def main(argv=None) -> int:
 
     def loss_fn(params):
         s = apply_params(scene, params)
-        img = render_linear(s, w, h, seed=0, tile_rays=tile_rays)
+        # engine="xla": the Pallas megakernel is forward-only (no AD rule)
+        img = render_linear(s, w, h, seed=0, tile_rays=tile_rays,
+                            engine="xla")
         return jnp.mean((img - target) ** 2)
 
     if args.forward_only:

@@ -38,6 +38,11 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
                    help="shard rays over all visible devices")
     p.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--progressive", type=int, metavar="PASSES", default=0,
+                   help="accumulate PASSES progressive passes, writing the "
+                        "preview PNG after each")
+    p.add_argument("--checkpoint", metavar="FILE",
+                   help="accumulator checkpoint for progressive restart")
 
 
 def _load(args):
@@ -79,7 +84,20 @@ def cmd_render(args) -> int:
     if args.profile:
         import jax
         jax.profiler.start_trace(args.profile)
-    if args.sharded:
+    if args.progressive:
+        from .render.progressive import render_progressive
+
+        def preview(acc, i):
+            write_png(args.output, acc.rgba8())
+            print(f"pass {i + 1}/{args.progressive} "
+                  f"({acc.passes * scene.settings.samples_per_pixel} spp)")
+
+        acc = render_progressive(
+            scene, args.width, args.height, passes=args.progressive,
+            seed=args.seed, checkpoint_path=args.checkpoint, on_pass=preview,
+        )
+        img = acc.rgba8()
+    elif args.sharded:
         from .parallel.sharding import render_sharded
         img = render_sharded(scene, args.width, args.height, seed=args.seed)
     else:
@@ -114,6 +132,38 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Inverse rendering: optimize scene parameters to match a target image
+    (BASELINE.json config #5)."""
+    import numpy as np
+
+    from .diff.inverse import fit
+    from .io.png import read_png, write_png
+
+    builder = _load(args)
+    scene = builder.build()
+    target_u8 = read_png(args.target)[..., :3].astype(np.float32) / 255.0
+    target = target_u8 ** 2  # invert the sqrt gamma -> linear radiance
+    h, w = target.shape[:2]
+
+    def log(i, value, params):
+        if i % 10 == 0:
+            print(f"step {i}: loss {value:.6f}")
+
+    out_scene, params, history = fit(
+        scene, target, args.params.split(","), w, h,
+        steps=args.steps, learning_rate=args.lr,
+        checkpoint_path=args.checkpoint, callback=log,
+    )
+    print(f"final loss {history[-1]:.6f}")
+    for name, value in params.items():
+        print(f"{name}: {np.asarray(value).round(4).tolist()}")
+    if args.output:
+        from .render.render import render
+        write_png(args.output, render(out_scene, w, h))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py is the single source
 
@@ -121,7 +171,24 @@ def cmd_bench(args) -> int:
     return bench_mod.main()
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: compiles over the TPU tunnel take
+    minutes; cache them across CLI invocations (docs/performance.md)."""
+    import os
+
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".cache", "jax")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         prog="rtrt", description="TPU-native differentiable path tracer"
     )
@@ -140,6 +207,24 @@ def main(argv=None) -> int:
     pi.add_argument("--bvh", action="store_true")
     pi.add_argument("--no-bvh", action="store_true")
     pi.set_defaults(fn=cmd_info)
+
+    pf = sub.add_parser("fit", help="inverse rendering against a target PNG")
+    pf.add_argument("scene")
+    pf.add_argument("target", help="target PNG (as written by `rtrt render`)")
+    pf.add_argument("--params", default="albedo",
+                    help="comma list: albedo,fuzz,ir,emission,bg_color_a,"
+                         "cam_lookfrom,cam_fov,...")
+    pf.add_argument("--steps", type=int, default=100)
+    pf.add_argument("--lr", type=float, default=5e-2)
+    pf.add_argument("--checkpoint")
+    pf.add_argument("-o", "--output", help="render the fitted scene here")
+    for flag in ("--spp", "--depth"):
+        pf.add_argument(flag, type=int)
+    pf.add_argument("--clamp", type=float)
+    pf.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
+    pf.add_argument("--bvh", action="store_true")
+    pf.add_argument("--no-bvh", action="store_true")
+    pf.set_defaults(fn=cmd_fit)
 
     pb = sub.add_parser("bench", help="run the standard benchmark")
     pb.add_argument("scene", nargs="?",

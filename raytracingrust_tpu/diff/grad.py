@@ -73,7 +73,9 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
 
     def loss(params: dict):
         s = apply_params(scene, params)
-        img = render_linear(s, width, height, seed=seed, tile_rays=tile_rays)
+        # engine="xla": the Pallas megakernel is forward-only (no AD rule)
+        img = render_linear(s, width, height, seed=seed,
+                            tile_rays=tile_rays, engine="xla")
         return jnp.mean((img - target) ** 2)
 
     return loss

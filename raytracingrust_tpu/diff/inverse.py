@@ -32,6 +32,8 @@ def fit(
     resample_every: int = 1,
     callback: Callable | None = None,
     constraints: dict | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Optimize ``names`` parameters of ``scene`` to match ``target``.
 
@@ -39,11 +41,22 @@ def fit(
 
     ``constraints``: optional {name: (lo, hi)} clamps applied after each step
     (e.g. albedo in [0,1], fuzz >= 0).
+    ``checkpoint_path``: when set, the optimizer state is periodically saved
+    there and a matching existing checkpoint resumes the run mid-flight.
     """
     names = list(names)
     params = extract_params(scene, names)
     tx = optax.adam(learning_rate)
     opt_state = tx.init(params)
+    start_step = 0
+    if checkpoint_path:
+        from . import checkpoint as ckpt
+        state = ckpt.load(checkpoint_path,
+                          {"params": params, "opt": opt_state, "step": 0})
+        if state is not None:
+            params = jax.tree.map(jnp.asarray, state["params"])
+            opt_state = jax.tree.map(jnp.asarray, state["opt"])
+            start_step = int(state["step"])
 
     loss_fn = make_loss(scene, target, width, height, seed=seed)
 
@@ -55,7 +68,7 @@ def fit(
         return params, opt_state, value
 
     history = []
-    for i in range(steps):
+    for i in range(start_step, steps):
         params, opt_state, value = step(params, opt_state)
         if constraints:
             for name, (lo, hi) in constraints.items():
@@ -64,5 +77,9 @@ def fit(
         history.append(float(value))
         if callback is not None:
             callback(i, float(value), params)
+        if checkpoint_path and (i + 1) % checkpoint_every == 0:
+            from . import checkpoint as ckpt
+            ckpt.save(checkpoint_path,
+                      {"params": params, "opt": opt_state, "step": i + 1})
 
     return apply_params(scene, params), params, history

@@ -14,6 +14,7 @@ the (optional) NEE/importance-sampling integrator path.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,6 +99,27 @@ class Background:
         y = (h - 1) - jnp.mod(jnp.floor(u * h).astype(jnp.int32), h)
         return self.image[y, x]
 
+    def pdf(self, directions):
+        """Solid-angle pdf of :func:`sample_skymap_direction` at the given
+        (normalized) directions (SKYMAP only)."""
+        h, w = self.image.shape[0], self.image.shape[1]
+        sph = vec.to_spherical_coords(directions)
+        theta = sph[..., 0]
+        u = theta / PI
+        v = sph[..., 1] / (2.0 * PI)
+        x = jnp.mod(jnp.floor(v * w).astype(jnp.int32), w)
+        iu = jnp.mod(jnp.floor(u * h).astype(jnp.int32), h)
+        y = (h - 1) - iu
+        p_row = self.cdf_rows - jnp.concatenate(
+            [jnp.zeros(1), self.cdf_rows[:-1]]
+        )
+        p_col = self.cdf_cols - jnp.concatenate(
+            [jnp.zeros((h, 1)), self.cdf_cols[:, :-1]], axis=1
+        )
+        p_texel = p_row[y] * p_col[y, x]
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        return p_texel * (h * w) / (2.0 * PI * PI * sin_t)
+
     # -- JSON ---------------------------------------------------------------
     def to_json(self) -> dict:
         rgb = lambda c: {"r": float(c[0]), "g": float(c[1]), "b": float(c[2])}
@@ -132,3 +154,51 @@ class Background:
             ).reshape(d["height"], d["width"], 3)
             return Background.skymap_from_array(img)
         raise ValueError(f"unknown background type {t!r}")
+
+
+def sample_skymap_direction(bg: Background, u1, u2):
+    """Importance-sample directions proportional to sky luminance x sin(theta).
+
+    New capability over the reference (its SkyMap is lookup-only, SURVEY.md
+    section 2.2): inverts the precomputed marginal/conditional CDFs, jitters
+    uniformly inside the chosen texel, and returns (directions (...,3),
+    solid-angle pdf (...,)).  Texel (y, x) maps to angles through the exact
+    inverse of the reference's equirect lookup (lib/backgrounds.rs:84-93).
+    """
+    h, w = bg.image.shape[0], bg.image.shape[1]
+
+    # invert the row marginal, reusing the remaining uniform mass as the
+    # intra-texel jitter
+    y = jnp.clip(jnp.searchsorted(bg.cdf_rows, u1, side="left"), 0, h - 1)
+    cdf_lo = jnp.where(y > 0, bg.cdf_rows[y - 1], 0.0)
+    p_row = bg.cdf_rows[y] - cdf_lo
+    frac_y = jnp.clip((u1 - cdf_lo) / jnp.maximum(p_row, 1e-20), 0.0, 1.0)
+
+    rows = bg.cdf_cols[y]
+    x = jnp.clip(
+        jax.vmap(lambda r, u: jnp.searchsorted(r, u, side="left"))(rows, u2),
+        0, w - 1,
+    )
+    ccdf_lo = jnp.where(x > 0, rows[jnp.arange(x.shape[0]), x - 1], 0.0)
+    p_col = rows[jnp.arange(x.shape[0]), x] - ccdf_lo
+    frac_x = jnp.clip((u2 - ccdf_lo) / jnp.maximum(p_col, 1e-20), 0.0, 1.0)
+
+    # texel -> angles (inverse of the reference lookup: y = h-1 - floor(u*h))
+    iu = (h - 1) - y
+    theta = (iu.astype(jnp.float32) + frac_y) * (PI / h)
+    phi = (x.astype(jnp.float32) + frac_x) * (2.0 * PI / w)
+    sin_t = jnp.sin(theta)
+    d = jnp.stack(
+        [
+            sin_t * jnp.cos(phi - PI),
+            -jnp.cos(theta),
+            -sin_t * jnp.sin(phi - PI),
+        ],
+        axis=-1,
+    )
+    # pdf in solid-angle measure: P(texel) / (dtheta * dphi * sin(theta))
+    pdf = (
+        p_row * p_col * (h * w) / (2.0 * PI * PI)
+        / jnp.maximum(sin_t, 1e-6)
+    )
+    return d, pdf

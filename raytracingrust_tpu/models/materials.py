@@ -24,7 +24,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from ..utils.pytree import pytree_dataclass
+from ..utils.pytree import pytree_dataclass, static_field
 
 # Material kind ids (order is part of the on-device format).
 LAMBERTIAN = 0
@@ -98,6 +98,12 @@ class MaterialTable:
     mix_first: jnp.ndarray   # (M,) i32 child index (self if not a mix)
     mix_second: jnp.ndarray  # (M,) i32
     mix_factor: jnp.ndarray  # (M,)
+    # static so jit skips mix resolution (and its gathers + uniform draws)
+    # entirely for mix-free scenes
+    has_mix: bool = static_field(default=False)
+    # static set of material kinds present: the shader compiles only the
+    # lobes a scene actually uses (e.g. no cbrt unless an Isotropic exists)
+    kinds_present: tuple = static_field(default=(0, 1, 2, 3, 4))
 
     def __len__(self):
         return self.kind.shape[0]
@@ -157,6 +163,8 @@ def build_table(materials: Sequence[AnyMaterial]) -> MaterialTable:
 
     f32 = np.float32
     return MaterialTable(
+        has_mix=any(r["kind"] == MIX for r in rows),
+        kinds_present=tuple(sorted({r["kind"] for r in rows} - {MIX})),
         kind=jnp.asarray([r["kind"] for r in rows], jnp.int32),
         albedo=jnp.asarray([r["albedo"] for r in rows], f32),
         fuzz=jnp.asarray([r["fuzz"] for r in rows], f32),

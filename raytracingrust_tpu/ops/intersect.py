@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils import vec
+from ..utils.lookup import tgather
 from ..utils.pytree import pytree_dataclass
 from ..utils.types import INF, T_MIN
 
@@ -129,10 +130,10 @@ def sphere_ts(spheres, o, d, u_vol, tmin, tmax):
 def sphere_normal(spheres, prim, point):
     """Outward normal for sphere hits: (p - c)/r (lib/objects.rs:48), or the
     volume dummy normal (1,0,0) (lib/volume.rs:66-72)."""
-    c = spheres.center[prim]
-    r = spheres.radius[prim]
+    c = tgather(spheres.center, prim)
+    r = tgather(spheres.radius, prim)
     outward = (point - c) / r[..., None]
-    is_vol = spheres.neg_inv_density[prim] != 0.0
+    is_vol = tgather(spheres.neg_inv_density, prim) != 0.0
     dummy = jnp.array([1.0, 0.0, 0.0], outward.dtype)
     return jnp.where(is_vol[..., None], dummy, outward)
 
@@ -178,8 +179,8 @@ def gather_sphere_t(spheres, sidx, o, d, u_vol, tmin, tmax):
     """Per-ray single-sphere hit distance (ray i vs sphere sidx[i]) in the
     direct (o - c) form — the numerically canonical formula; the matmul
     expansion above is used only to FIND the winner."""
-    c = spheres.center[sidx]
-    r = spheres.radius[sidx]
+    c = tgather(spheres.center, sidx)
+    r = tgather(spheres.radius, sidx)
     oc = o - c
     a = vec.length_squared(d)
     half_b = vec.dot(oc, d)
@@ -209,19 +210,20 @@ def gather_sphere_t(spheres, sidx, o, d, u_vol, tmin, tmax):
     h1 = jnp.maximum(h1, 0.0)
     ray_len = jnp.sqrt(a)
     dist_inside = (h2 - h1) * ray_len
-    hit_dist = spheres.neg_inv_density[sidx] * jnp.log(jnp.maximum(uu, 1e-37))
+    nid = tgather(spheres.neg_inv_density, sidx)
+    hit_dist = nid * jnp.log(jnp.maximum(uu, 1e-37))
     t_vol = h1 + hit_dist / ray_len
     t_vol = jnp.where(valid & (hit_dist <= dist_inside), t_vol, INF)
 
-    return jnp.where(spheres.neg_inv_density[sidx] != 0.0, t_vol, t_solid)
+    return jnp.where(nid != 0.0, t_vol, t_solid)
 
 
 def gather_triangle_t(triangles, tidx, o, d, tmin, tmax):
     """Per-ray single-triangle Moller-Trumbore, classic cross-product form
     (one triangle per ray — nothing to matmul)."""
-    v0 = triangles.v0[tidx]
-    e1 = triangles.e1[tidx]
-    e2 = triangles.e2[tidx]
+    v0 = tgather(triangles.v0, tidx)
+    e1 = tgather(triangles.e1, tidx)
+    e2 = tgather(triangles.e2, tidx)
     h = vec.cross(d, e2)
     a = vec.dot(e1, h)
     f = 1.0 / a
@@ -276,7 +278,7 @@ def make_hit(scene, o, d, t, best):
     is_sphere = best < ns
     if ns > 0:
         outward = sphere_normal(scene.spheres, sidx, point)
-        mat = scene.spheres.material[sidx]
+        mat = tgather(scene.spheres.material, sidx)
     else:
         outward = jnp.zeros_like(o)
         mat = jnp.zeros(o.shape[:-1], jnp.int32)
@@ -284,9 +286,9 @@ def make_hit(scene, o, d, t, best):
     if nt > 0:
         tidx = jnp.clip(best - ns, 0, nt - 1)
         outward = jnp.where(
-            is_sphere[..., None], outward, scene.triangles.normal[tidx]
+            is_sphere[..., None], outward, tgather(scene.triangles.normal, tidx)
         )
-        mat = jnp.where(is_sphere, mat, scene.triangles.material[tidx])
+        mat = jnp.where(is_sphere, mat, tgather(scene.triangles.material, tidx))
 
     unit_z = jnp.zeros_like(outward).at[..., 2].set(1.0)
     outward = jnp.where(missed[..., None], unit_z, outward)

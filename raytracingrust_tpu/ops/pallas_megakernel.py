@@ -1,0 +1,519 @@
+"""Pallas wavefront megakernel — the TPU fast path for sphere scenes.
+
+The XLA integrator (render/integrator.py) is correct for everything but pays
+an HBM round-trip of the whole wavefront state per bounce (profiling: ~90%
+of runtime is the scan while-loop, dominated by carry copies).  This kernel
+keeps a block of 2048 rays RESIDENT IN VMEM for the entire bounce chain
+(SURVEY.md section 7 stage 3):
+
+  * grid over ray blocks; per block all state ((8, 256) f32 registers:
+    origin/direction/throughput/radiance components, alive mask) never
+    leaves the chip;
+  * the sphere loop is UNROLLED over the scene — scene constants live in
+    scalar-prefetch SMEM, so for the reference's benchmark scenes this is
+    the speed-of-light formulation (no gathers, no BVH, no HBM);
+  * counter-based threefry2x32 implemented in-kernel, bit-compatible with
+    jax.random's cipher and key-derivation chain: the kernel consumes the
+    SAME uniform draws as the XLA integrator, so images agree except for
+    ulp-level arithmetic-order effects;
+  * material lobes compile only for kinds the scene uses; per-sphere
+    material KINDS are static (geometry edits recompile) while all material
+    VALUES (albedo/fuzz/ir/emission, camera, background) stay runtime inputs
+    — inverse-rendering forward passes never recompile.
+
+Scope (static ``supports`` gate; everything else falls back to XLA):
+spheres only, no volumes/mixes/isotropic, uniform or gradient background,
+Full/Clay mode.  Forward only — gradients use the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import backgrounds as B
+from ..models import materials as M
+from ..models.scene import MODE_CLAY, MODE_FULL, Scene
+from ..utils.types import T_MIN
+
+BLOCK_ROWS = 8
+BLOCK_COLS = 256
+BLOCK = BLOCK_ROWS * BLOCK_COLS  # rays per grid step
+
+# float scalar-param layout
+_CAM = 0            # origin(3) horizontal(3) vertical(3) lower_left(3)
+_BG = 12            # color_a(3) color_b(3)
+_INV_W = 18         # 1 / (width - 1)
+_INV_H = 19         # 1 / (height - 1)
+_SPHERES = 20       # per sphere: cx cy cz r  al_r al_g al_b  fuzz ir
+_SPHERE_STRIDE = 12  # em_r em_g em_b
+
+MAX_UNROLLED_SPHERES = 64
+
+
+def supports(scene: Scene) -> bool:
+    """Static capability check for this kernel."""
+    return (
+        len(scene.triangles) == 0
+        and 0 < len(scene.spheres) <= MAX_UNROLLED_SPHERES
+        and scene.spheres.num_volumes == 0
+        and not scene.materials.has_mix
+        and M.ISOTROPIC not in scene.materials.kinds_present
+        and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and scene.settings.mode in (MODE_FULL, MODE_CLAY)
+    )
+
+
+# ------------------------------------------------------------ threefry-2x32
+
+def _rotl(x, r):
+    return (x << r) | (x >> (32 - r))
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, 20 rounds — the jax.random cipher, lane-wise on uint32
+    arrays (validated bit-exact against jax.random in tests/test_pallas.py).
+    """
+    ks0, ks1 = k0, k1
+    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    rots0 = (13, 15, 26, 6)
+    rots1 = (17, 29, 16, 24)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    sched = (
+        (rots0, ks1, ks2, 1),
+        (rots1, ks2, ks0, 2),
+        (rots0, ks0, ks1, 3),
+        (rots1, ks1, ks2, 4),
+        (rots0, ks2, ks0, 5),
+    )
+    for rots, inj0, inj1, idx in sched:
+        for r in rots:
+            x0 = x0 + x1
+            x1 = _rotl(x1, np.uint32(r)) ^ x0
+        x0 = x0 + inj0
+        x1 = x1 + inj1 + np.uint32(idx)
+    return x0, x1
+
+
+def _fold_in(k0, k1, data_i32):
+    """jax.random.fold_in: threefry(key, seed_pair(data)); seed_pair(i) for
+    32-bit nonnegative data is (0, i)."""
+    zero = jnp.zeros_like(data_i32, jnp.uint32)
+    return threefry2x32(k0, k1, zero, data_i32.astype(jnp.uint32))
+
+
+def _bits_to_uniform(bits):
+    """uint32 -> f32 [0,1): jax.random._uniform mantissa construction."""
+    mant = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+
+
+def _uniform_at(k0, k1, i):
+    """Element i of jax.random.uniform(key, (n,)) under the (default)
+    partitionable threefry layout: the 64-bit count iota splits into
+    (hi, lo) = (0, i) and the two cipher output words are XORed."""
+    c = lambda v: jnp.full(k0.shape, v, jnp.uint32)
+    a0, a1 = threefry2x32(k0, k1, c(0), c(i))
+    return _bits_to_uniform(a0 ^ a1)
+
+
+def _uniform2(k0, k1):
+    """jax.random.uniform(key, (2,))."""
+    return _uniform_at(k0, k1, 0), _uniform_at(k0, k1, 1)
+
+
+def _uniform4(k0, k1):
+    """jax.random.uniform(key, (4,))."""
+    return tuple(_uniform_at(k0, k1, i) for i in range(4))
+
+
+# ------------------------------------------------------------------ kernel
+
+def _dot3(ax, ay, az, bx, by, bz):
+    return ax * bx + ay * by + az * bz
+
+
+def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
+    """sphere_kinds: static tuple of material-kind ids, one per sphere."""
+    present = set(sphere_kinds)
+    lam = M.LAMBERTIAN in present
+    met = M.METAL in present
+    die = M.DIELECTRIC in present
+    emi = M.EMISSION in present
+
+    def kernel(iparams, fparams, ray_id_ref, px_ref, py_ref,
+               out_r, out_g, out_b):
+        f = lambda i: fparams[i]
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+
+        ox_c, oy_c, oz_c = f(_CAM + 0), f(_CAM + 1), f(_CAM + 2)
+        hx, hy, hz = f(_CAM + 3), f(_CAM + 4), f(_CAM + 5)
+        vx, vy, vz = f(_CAM + 6), f(_CAM + 7), f(_CAM + 8)
+        llx, lly, llz = f(_CAM + 9), f(_CAM + 10), f(_CAM + 11)
+
+        ray_id = ray_id_ref[...]
+        px = px_ref[...]
+        py = py_ref[...]
+
+        # per-ray key chain: base(seed) -> fold_in(ray_id)
+        bk0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        bk1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+        rk0, rk1 = _fold_in(bk0, bk1, ray_id)
+
+        # pixel jitter (stream 0) -> camera ray (lib/core/camera.rs:19-24)
+        jk0, jk1 = _fold_in(rk0, rk1, jnp.zeros_like(ray_id))
+        j1, j2 = _uniform2(jk0, jk1)
+        s = (px + j1) * f(_INV_W)
+        t = (py + j2) * f(_INV_H)
+        dx = llx + s * hx - t * vx - ox_c
+        dy = lly + s * hy - t * vy - oy_c
+        dz = llz + s * hz - t * vz - oz_c
+        ox = jnp.full_like(dx, 0.0) + ox_c
+        oy = jnp.full_like(dx, 0.0) + oy_c
+        oz = jnp.full_like(dx, 0.0) + oz_c
+
+        one = jnp.ones_like(dx)
+        zero = jnp.zeros_like(dx)
+        thr_r, thr_g, thr_b = one, one, one
+        rad_r, rad_g, rad_b = zero, zero, zero
+        alive = zero < one  # all-True i1 vector
+
+        def background(dx, dy, dz):
+            ca = (f(_BG + 0), f(_BG + 1), f(_BG + 2))
+            if bg_kind == B.UNIFORM:
+                return tuple(zero + c for c in ca)
+            cb = (f(_BG + 3), f(_BG + 4), f(_BG + 5))
+            norm = jax.lax.rsqrt(_dot3(dx, dy, dz, dx, dy, dz))
+            tt = 0.5 * (dy * norm + 1.0)
+            return tuple((1.0 - tt) * a + tt * b for a, b in zip(ca, cb))
+
+        for b in range(max_depth):
+            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin, radius)
+            sk0, sk1 = _fold_in(
+                rk0, rk1, jnp.full(ray_id.shape, 1 + b, jnp.int32)
+            )
+            u1, u2, u_coin, _ = _uniform4(sk0, sk1)
+
+            # ---- intersect: unrolled sphere loop, direct quadratic form
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+            t_best = jnp.full_like(dx, jnp.inf)
+            best = jnp.full(dx.shape, -1, jnp.int32)
+            for i in range(n_spheres):
+                base = _SPHERES + i * _SPHERE_STRIDE
+                cx, cy, cz = f(base), f(base + 1), f(base + 2)
+                r = f(base + 3)
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = half_b * half_b - a * cq
+                ok = disc >= 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-half_b - sq) * inv_a
+                t2 = (-half_b + sq) * inv_a
+                t1ok = (t1 >= T_MIN) & (t1 <= t_best)
+                t2ok = (t2 >= T_MIN) & (t2 <= t_best)
+                ti = jnp.where(t1ok, t1, jnp.where(t2ok, t2, jnp.inf))
+                better = ok & (ti < t_best)
+                t_best = jnp.where(better, ti, t_best)
+                best = jnp.where(better, i, best)
+
+            hit = best >= 0
+
+            # background on miss
+            bg_r, bg_g, bg_b = background(dx, dy, dz)
+            missed = alive & ~hit
+            rad_r = rad_r + jnp.where(missed, thr_r * bg_r, 0.0)
+            rad_g = rad_g + jnp.where(missed, thr_g * bg_g, 0.0)
+            rad_b = rad_b + jnp.where(missed, thr_b * bg_b, 0.0)
+
+            # ---- winner constants via unrolled select chains (no gathers)
+            scx = scy = scz = inv_r = zero
+            al_r = al_g = al_b = fuzz = ir = em_r = em_g = em_b = zero
+            false_ = one < zero
+            is_lam = is_met = is_die = is_emi = false_
+            for i in range(n_spheres):
+                base = _SPHERES + i * _SPHERE_STRIDE
+                sel = best == i
+                pick = lambda cur, v: jnp.where(sel, v, cur)
+                scx = pick(scx, f(base + 0))
+                scy = pick(scy, f(base + 1))
+                scz = pick(scz, f(base + 2))
+                inv_r = pick(inv_r, 1.0 / f(base + 3))
+                al_r = pick(al_r, f(base + 4))
+                al_g = pick(al_g, f(base + 5))
+                al_b = pick(al_b, f(base + 6))
+                fuzz = pick(fuzz, f(base + 7))
+                ir = pick(ir, f(base + 8))
+                em_r = pick(em_r, f(base + 9))
+                em_g = pick(em_g, f(base + 10))
+                em_b = pick(em_b, f(base + 11))
+                k = sphere_kinds[i]  # static
+                if k == M.LAMBERTIAN:
+                    is_lam = is_lam | sel
+                elif k == M.METAL:
+                    is_met = is_met | sel
+                elif k == M.DIELECTRIC:
+                    is_die = is_die | sel
+                elif k == M.EMISSION:
+                    is_emi = is_emi | sel
+
+            # hit point + front-face-flipped outward normal
+            ptx = ox + t_best * dx
+            pty = oy + t_best * dy
+            ptz = oz + t_best * dz
+            nx = (ptx - scx) * inv_r
+            ny = (pty - scy) * inv_r
+            nz = (ptz - scz) * inv_r
+            front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+
+            # unit-sphere-surface sample from (u1, u2)
+            zs = 1.0 - 2.0 * u1
+            rs = jnp.sqrt(jnp.maximum(0.0, 1.0 - zs * zs))
+            phi = (2.0 * np.float32(np.pi)) * u2
+            sx = rs * jnp.cos(phi)
+            sy = rs * jnp.sin(phi)
+            sz = zs
+
+            def lambert_dir():
+                ldx, ldy, ldz = nx + sx, ny + sy, nz + sz
+                deg = (
+                    (jnp.abs(ldx) < 1e-8)
+                    & (jnp.abs(ldy) < 1e-8)
+                    & (jnp.abs(ldz) < 1e-8)
+                )
+                return (
+                    jnp.where(deg, nx, ldx),
+                    jnp.where(deg, ny, ldy),
+                    jnp.where(deg, nz, ldz),
+                )
+
+            if clay:
+                at_r = at_g = at_b = zero + 0.8
+                ndx, ndy, ndz = lambert_dir()
+                scatters = zero < one
+            else:
+                at_r, at_g, at_b = zero, zero, zero
+                ndx, ndy, ndz = nx, ny, nz
+                scatters = zero < one
+
+                if lam:
+                    ldx, ldy, ldz = lambert_dir()
+                    at_r = jnp.where(is_lam, al_r, at_r)
+                    at_g = jnp.where(is_lam, al_g, at_g)
+                    at_b = jnp.where(is_lam, al_b, at_b)
+                    ndx = jnp.where(is_lam, ldx, ndx)
+                    ndy = jnp.where(is_lam, ldy, ndy)
+                    ndz = jnp.where(is_lam, ldz, ndz)
+
+                if met:
+                    dn = _dot3(dx, dy, dz, nx, ny, nz)
+                    rfx = dx - 2.0 * dn * nx
+                    rfy = dy - 2.0 * dn * ny
+                    rfz = dz - 2.0 * dn * nz
+                    inv_len = jax.lax.rsqrt(jnp.maximum(
+                        _dot3(rfx, rfy, rfz, rfx, rfy, rfz), 1e-30
+                    ))
+                    mdx = rfx * inv_len + fuzz * sx
+                    mdy = rfy * inv_len + fuzz * sy
+                    mdz = rfz * inv_len + fuzz * sz
+                    m_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
+                    keep = is_met & m_ok
+                    at_r = jnp.where(is_met, jnp.where(m_ok, al_r, 0.0), at_r)
+                    at_g = jnp.where(is_met, jnp.where(m_ok, al_g, 0.0), at_g)
+                    at_b = jnp.where(is_met, jnp.where(m_ok, al_b, 0.0), at_b)
+                    ndx = jnp.where(is_met, mdx, ndx)
+                    ndy = jnp.where(is_met, mdy, ndy)
+                    ndz = jnp.where(is_met, mdz, ndz)
+                    # Mosaic cannot select on i1 vectors; boolean algebra
+                    scatters = (is_met & m_ok) | (~is_met & scatters)
+
+                if die:
+                    ratio = jnp.where(front, 1.0 / ir, ir)
+                    inv_len = jax.lax.rsqrt(jnp.maximum(a, 1e-30))
+                    udx, udy, udz = dx * inv_len, dy * inv_len, dz * inv_len
+                    cos_t = jnp.minimum(
+                        -_dot3(nx, ny, nz, udx, udy, udz), 1.0
+                    )
+                    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                    r0 = (1.0 - ratio) / (1.0 + ratio)
+                    r0 = r0 * r0
+                    omc = 1.0 - cos_t
+                    omc2 = omc * omc
+                    schl = r0 + (1.0 - r0) * omc2 * omc2 * omc
+                    refl = (ratio * sin_t > 1.0) | (schl > u_coin)
+                    udn = _dot3(udx, udy, udz, nx, ny, nz)
+                    rx = udx - 2.0 * udn * nx
+                    ry = udy - 2.0 * udn * ny
+                    rz = udz - 2.0 * udn * nz
+                    perp_x = ratio * (udx + cos_t * nx)
+                    perp_y = ratio * (udy + cos_t * ny)
+                    perp_z = ratio * (udz + cos_t * nz)
+                    par = -jnp.sqrt(jnp.maximum(jnp.abs(
+                        1.0 - _dot3(perp_x, perp_y, perp_z,
+                                    perp_x, perp_y, perp_z)
+                    ), 1e-12))
+                    ddx = jnp.where(refl, rx, perp_x + par * nx)
+                    ddy = jnp.where(refl, ry, perp_y + par * ny)
+                    ddz = jnp.where(refl, rz, perp_z + par * nz)
+                    at_r = jnp.where(is_die, 1.0, at_r)
+                    at_g = jnp.where(is_die, 1.0, at_g)
+                    at_b = jnp.where(is_die, 1.0, at_b)
+                    ndx = jnp.where(is_die, ddx, ndx)
+                    ndy = jnp.where(is_die, ddy, ndy)
+                    ndz = jnp.where(is_die, ddz, ndz)
+
+                if emi:
+                    at_r = jnp.where(is_emi, em_r, at_r)
+                    at_g = jnp.where(is_emi, em_g, at_g)
+                    at_b = jnp.where(is_emi, em_b, at_b)
+                    scatters = scatters & ~is_emi
+
+            terminal = alive & hit & ~scatters
+            rad_r = rad_r + jnp.where(terminal, thr_r * at_r, 0.0)
+            rad_g = rad_g + jnp.where(terminal, thr_g * at_g, 0.0)
+            rad_b = rad_b + jnp.where(terminal, thr_b * at_b, 0.0)
+
+            cont = alive & hit & scatters
+            thr_r = jnp.where(cont, thr_r * at_r, thr_r)
+            thr_g = jnp.where(cont, thr_g * at_g, thr_g)
+            thr_b = jnp.where(cont, thr_b * at_b, thr_b)
+            ox = jnp.where(cont, ptx, ox)
+            oy = jnp.where(cont, pty, oy)
+            oz = jnp.where(cont, ptz, oz)
+            dx = jnp.where(cont, ndx, dx)
+            dy = jnp.where(cont, ndy, dy)
+            dz = jnp.where(cont, ndz, dz)
+            alive = cont
+
+        out_r[...] = rad_r
+        out_g[...] = rad_g
+        out_b[...] = rad_b
+
+    return kernel
+
+
+# ------------------------------------------------------------------ driver
+
+def _pack_fparams(scene: Scene, width: int, height: int):
+    """Runtime scene constants -> (K,) f32 (traced; no host sync)."""
+    origin, horizontal, vertical, lower_left = scene.camera.ray_origin()
+    bg = scene.background
+    bg_a = bg.color_a
+    bg_b = bg.color_b if bg.color_b is not None else bg.color_a
+    mats = scene.materials
+    mat_id = scene.spheres.material
+    per_sphere = jnp.concatenate(
+        [
+            scene.spheres.center,                       # cx cy cz
+            scene.spheres.radius[:, None],              # r
+            mats.albedo[mat_id],                        # al_r al_g al_b
+            mats.fuzz[mat_id][:, None],                 # fuzz
+            mats.ir[mat_id][:, None],                   # ir
+            mats.emission[mat_id],                      # em_r em_g em_b
+        ],
+        axis=1,
+    ).reshape(-1)
+    head = jnp.concatenate([
+        origin, horizontal, vertical, lower_left,
+        bg_a, bg_b,
+        jnp.array([1.0 / (width - 1), 1.0 / (height - 1)], jnp.float32),
+    ])
+    return jnp.concatenate([head, per_sphere]).astype(jnp.float32)
+
+
+def _sphere_kinds(scene: Scene) -> tuple:
+    kinds = np.asarray(scene.materials.kind)
+    mat = np.asarray(scene.spheres.material)
+    return tuple(int(kinds[m]) for m in mat)
+
+
+def seed_words(seed: int):
+    """Python int seed -> (2,) i32 (hi, lo) key words, the layout of
+    jax.random.key(seed) for the threefry implementation."""
+    return jnp.array(
+        [(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], jnp.int32
+    )
+
+
+def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
+                          iparams, *, sphere_kinds: tuple | None = None,
+                          interpret: bool = False):
+    """Mean clamped radiance per pixel -> (P, 3), via the megakernel.
+
+    Drop-in twin of render.pixel_radiance for supported scenes.  ``iparams``
+    is seed_words(seed) — an array, so re-seeding never recompiles.
+    ``sphere_kinds`` (static tuple of per-sphere material-kind ids, from
+    :func:`_sphere_kinds`) must be supplied when the scene is traced.
+    ``interpret`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+    if sphere_kinds is None:
+        sphere_kinds = _sphere_kinds(scene)
+    spp = scene.settings.samples_per_pixel
+    p = pixel_ids.shape[0]
+    n_rays = p * spp
+
+    ray_ids = (
+        pixel_ids[:, None] * spp + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    pid = jnp.repeat(pixel_ids, spp)
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+
+    pad = (-n_rays) % BLOCK
+    if pad:
+        ray_ids = jnp.concatenate([ray_ids, jnp.zeros(pad, jnp.int32)])
+        px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
+        py = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
+    total = n_rays + pad
+    rows = total // BLOCK_COLS
+
+    shape2d = (rows, BLOCK_COLS)
+    ray_ids = ray_ids.reshape(shape2d)
+    px = px.reshape(shape2d)
+    py = py.reshape(shape2d)
+
+    fparams = _pack_fparams(scene, width, height)
+
+    kernel = _make_kernel(
+        n_spheres=len(scene.spheres),
+        max_depth=scene.settings.max_ray_depth,
+        sphere_kinds=sphere_kinds,
+        bg_kind=scene.background.kind,
+        clay=scene.settings.mode == MODE_CLAY,
+    )
+
+    grid = rows // BLOCK_ROWS
+    # index_map receives the scalar-prefetch refs after the grid index
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[block, block, block],
+        out_specs=[block, block, block],
+    )
+    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+    rad_r, rad_g, rad_b = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[out, out, out],
+        interpret=interpret,
+    )(iparams, fparams, ray_ids, px, py)
+
+    radiance = jnp.stack(
+        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
+    )[:n_rays]
+    radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
+    return radiance.reshape(p, spp, 3).mean(axis=1)

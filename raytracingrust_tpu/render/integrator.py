@@ -21,10 +21,17 @@ throughput chain; sampled directions and discrete choices are detached
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Performance-ablation knobs (diagnostic only; see docs/performance.md):
+#   RTRT_ABLATE_RNG=1    replace per-bounce uniform draws with constants
+#   RTRT_ABLATE_SHADE=1  replace material shading with fixed lambertian
+_ABLATE_RNG = os.environ.get("RTRT_ABLATE_RNG") == "1"
+_ABLATE_SHADE = os.environ.get("RTRT_ABLATE_SHADE") == "1"
 
 from ..models import scene as S
 from ..ops import shade as shade_ops
@@ -57,14 +64,15 @@ def trace_paths(scene: S.Scene, o, d, keys):
     settings = scene.settings
     mode = settings.mode
     n_vol = scene.spheres.num_volumes
-    n_uniforms = shade_ops.N_SHADE_UNIFORMS + n_vol
+    n_shade = shade_ops.shade_uniforms(scene.materials)
+    n_uniforms = n_shade + n_vol
 
     if mode in (S.MODE_NORMAL, S.MODE_RANDOM):
         # single intersection, no scatter chain (lib/core/render.rs:42-49)
         if settings.max_ray_depth <= 0:
             return jnp.zeros_like(o)
         u = rng.bounce_uniforms(keys, bounce_stream(0), n_uniforms)
-        hit = closest_hit(scene, o, d, u[:, shade_ops.N_SHADE_UNIFORMS:])
+        hit = closest_hit(scene, o, d, u[:, n_shade:])
         bg = scene.background.sample(d)
         if mode == S.MODE_RANDOM:
             return jnp.where(hit.hit[..., None], 0.0, bg)
@@ -75,8 +83,11 @@ def trace_paths(scene: S.Scene, o, d, keys):
 
     def bounce(carry, b):
         o, d, throughput, radiance, alive = carry
-        u = rng.bounce_uniforms(keys, bounce_stream(b), n_uniforms)
-        u_vol = u[:, shade_ops.N_SHADE_UNIFORMS:]
+        if _ABLATE_RNG:
+            u = jnp.full((o.shape[0], n_uniforms), 0.5)
+        else:
+            u = rng.bounce_uniforms(keys, bounce_stream(b), n_uniforms)
+        u_vol = u[:, n_shade:]
         hit = closest_hit(scene, o, d, u_vol)
 
         missed = alive & ~hit.hit
@@ -85,11 +96,12 @@ def trace_paths(scene: S.Scene, o, d, keys):
         )
 
         mat_id = shade_ops.resolve_mix(
-            scene.materials, hit.material, u[:, : shade_ops.N_SHADE_UNIFORMS]
+            scene.materials, hit.material, u[:, :n_shade]
         )
         atten, new_dir, scatters = shade_ops.scatter(
             scene.materials, mat_id, d, hit.normal, hit.front_face,
-            u[:, : shade_ops.N_SHADE_UNIFORMS], clay=clay,
+            u[:, :n_shade],
+            clay=clay or _ABLATE_SHADE,
         )
         # Reparameterized path gradients: sampled directions are SMOOTH
         # functions of the parameters given fixed uniforms (metal dir in

@@ -32,10 +32,13 @@ from ..utils import color as color_mod
 from ..utils import rng
 from .integrator import JITTER_STREAM, trace_paths
 
-# Default rays per tile: pixels*spp per lax.map step.  8k rays x ~100 prims
-# of brute-force t-matrix is ~3 MB — deep in VMEM-friendly territory; bump it
-# for small scenes via render(..., tile_rays=...).
-DEFAULT_TILE_RAYS = 8192
+def default_tile_rays(scene: Scene) -> int:
+    """Rays per lax.map tile: as large as the brute-force (R, N) t-matrix
+    allows (target ~256 MB of intermediates), clamped to [2^13, 2^20].  Big
+    tiles amortize per-step overhead — TPUs want fat, few dispatches."""
+    n = max(scene.num_primitives, 1)
+    budget_elems = 1 << 26
+    return int(min(max(budget_elems // n, 8192), 1 << 20))
 
 
 def pixel_radiance(scene: Scene, pixel_ids, width: int, height: int, key):
@@ -83,14 +86,50 @@ def _render_tiled(scene: Scene, width: int, height: int, tile_pixels: int,
     return mean.reshape(padded, 3)[:n_pixels].reshape(height, width, 3)
 
 
+@partial(jax.jit,
+         static_argnames=("width", "height", "sphere_kinds", "interpret"))
+def _render_pallas(scene: Scene, width: int, height: int, iparams,
+                   sphere_kinds: tuple, interpret: bool):
+    from ..ops.pallas_megakernel import pixel_radiance_pallas
+
+    pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    mean = pixel_radiance_pallas(scene, pixel_ids, width, height, iparams,
+                                 sphere_kinds=sphere_kinds,
+                                 interpret=interpret)
+    return mean.reshape(height, width, 3)
+
+
+def use_pallas(scene: Scene, engine: str) -> bool:
+    from ..ops.pallas_megakernel import supports
+
+    if engine == "xla":
+        return False
+    if engine == "pallas":
+        return True
+    return supports(scene) and jax.devices()[0].platform != "cpu"
+
+
 def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
-                  tile_rays: int = DEFAULT_TILE_RAYS) -> jnp.ndarray:
+                  tile_rays: int | None = None,
+                  engine: str = "auto") -> jnp.ndarray:
     """Full frame -> (H, W, 3) f32 MEAN radiance (clamped, pre-gamma).
 
     This is the differentiable quantity — inverse rendering optimizes
     against it (gamma/u8 quantization stay out of the loss).
+
+    ``engine``: "auto" (Pallas megakernel when the scene qualifies and a TPU
+    is present, else XLA), "pallas", or "xla".  The engines consume identical
+    RNG streams; images agree to f32 arithmetic-order noise.
     """
+    if use_pallas(scene, engine):
+        from ..ops.pallas_megakernel import _sphere_kinds, seed_words
+
+        interpret = jax.devices()[0].platform == "cpu"
+        return _render_pallas(scene, width, height, seed_words(seed),
+                              _sphere_kinds(scene), interpret)
     spp = scene.settings.samples_per_pixel
+    if tile_rays is None:
+        tile_rays = default_tile_rays(scene)
     tile_pixels = max(1, tile_rays // max(spp, 1))
     tile_pixels = min(tile_pixels, width * height)
     return _render_tiled(scene, width, height, tile_pixels,
@@ -98,9 +137,10 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
 
 
 def render(scene: Scene, width: int, height: int, *, seed: int = 0,
-           tile_rays: int = DEFAULT_TILE_RAYS) -> np.ndarray:
+           tile_rays: int | None = None, engine: str = "auto") -> np.ndarray:
     """Full frame -> (H, W, 4) u8 RGBA, gamma-corrected — the
     ``RenderTarget`` byte layout (lib/core/render.rs:14-30, 103-110)."""
-    mean = render_linear(scene, width, height, seed=seed, tile_rays=tile_rays)
+    mean = render_linear(scene, width, height, seed=seed,
+                         tile_rays=tile_rays, engine=engine)
     gamma = jnp.sqrt(jnp.maximum(mean, 0.0))
     return np.asarray(color_mod.to_rgba8(gamma))

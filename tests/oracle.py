@@ -26,7 +26,7 @@ from raytracingrust_tpu.models.scene import (
     MODE_RANDOM,
     SceneBuilder,
 )
-from raytracingrust_tpu.ops.shade import N_SHADE_UNIFORMS
+from raytracingrust_tpu.models.materials import MIX, MAX_MIX_DEPTH
 from raytracingrust_tpu.utils import rng as rng_mod
 
 T_MIN = 1e-5
@@ -73,6 +73,13 @@ class Oracle:
                     )
         self.spheres = solids + volumes
         self.num_volumes = len(volumes)
+        # uniform-stream layout must mirror shade.shade_uniforms: mix coins
+        # are only drawn when the scene actually contains a MixMaterial
+        self.has_mix = any(
+            isinstance(m, M.MixMaterial) for m in self.materials
+        )
+        self.mix_offset = MAX_MIX_DEPTH if self.has_mix else 0
+        self.n_shade = self.mix_offset + 4
 
     # ------------------------------------------------------------ sampling
     def uniforms(self, ray_id: int, stream: int, n: int) -> np.ndarray:
@@ -182,7 +189,7 @@ class Oracle:
 
     # -------------------------------------------------------------- shading
     def scatter(self, mat, d_in, p, n, front, u, mix_level=0):
-        k = M.MAX_MIX_DEPTH
+        k = self.mix_offset
         if isinstance(mat, M.MixMaterial):
             child = mat.first if u[mix_level] >= mat.factor else mat.second
             return self.scatter(child, d_in, p, n, front, u, mix_level + 1)
@@ -248,8 +255,8 @@ class Oracle:
         """trace_ray (lib/core/render.rs:32-59)."""
         if depth >= self.settings.max_ray_depth:
             return np.zeros(3)
-        u = self.uniforms(ray_id, 1 + depth, N_SHADE_UNIFORMS + self.num_volumes)
-        hit = self.closest_hit(o, d, u[N_SHADE_UNIFORMS:])
+        u = self.uniforms(ray_id, 1 + depth, self.n_shade + self.num_volumes)
+        hit = self.closest_hit(o, d, u[self.n_shade:])
         if hit is None:
             return self.sample_background(d)
         t, p, n, front, mat_id = hit
