@@ -42,8 +42,8 @@ def build_scene(path: str, spp: int, depth: int):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/reference/scenes/benchmark.json")
-    ap.add_argument("--width", type=int, default=512)
-    ap.add_argument("--height", type=int, default=512)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--iters", type=int, default=5)
@@ -74,7 +74,9 @@ def main(argv=None) -> int:
 
     scene = build_scene(args.scene, args.spp, args.depth)
     w, h = args.width, args.height
-    tile_rays = 1 << 17
+    # one tile for the whole frame: the smallest jaxpr (no lax.map wrapper)
+    # -> fastest compile over the tunnel's remote compile helper
+    tile_rays = w * h * args.spp
 
     names = ("albedo", "fuzz", "ir", "emission", "cam_lookfrom", "bg_color_a")
     params = extract_params(scene, names)

@@ -33,9 +33,26 @@ from .models.scene import (
 )
 from .render.render import render, render_linear
 
+
+def __getattr__(name):
+    # heavier entry points, imported lazily to keep `import raytracingrust_tpu`
+    # light (they pull in optax / sharding machinery)
+    if name == "fit":
+        from .diff.inverse import fit
+        return fit
+    if name == "render_progressive":
+        from .render.progressive import render_progressive
+        return render_progressive
+    if name == "render_sharded":
+        from .parallel.sharding import render_sharded
+        return render_sharded
+    raise AttributeError(name)
+
+
 __all__ = [
     "Background", "Camera", "Dielectric", "Emission", "Isotropic",
     "Lambertian", "Metal", "MixMaterial", "Mesh", "RenderSettings", "Scene",
     "SceneBuilder", "load_scene", "render", "render_linear",
+    "render_progressive", "render_sharded", "fit",
     "MODE_FULL", "MODE_CLAY", "MODE_NORMAL", "MODE_RANDOM",
 ]

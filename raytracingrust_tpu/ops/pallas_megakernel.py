@@ -53,7 +53,7 @@ _INV_H = 19         # 1 / (height - 1)
 _SPHERES = 20       # per sphere: cx cy cz r  al_r al_g al_b  fuzz ir
 _SPHERE_STRIDE = 12  # em_r em_g em_b
 
-MAX_UNROLLED_SPHERES = 64
+MAX_UNROLLED_SPHERES = 128  # covers scenes/simple.json (102 spheres)
 
 
 def supports(scene: Scene) -> bool:

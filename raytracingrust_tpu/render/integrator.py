@@ -48,10 +48,22 @@ def bounce_stream(b):
     return 1 + b
 
 
+# Below this primitive count the dense matmul intersector beats lockstep
+# BVH traversal on TPU (gather-free, MXU-resident) — results are equivalent
+# (tests/test_bvh.py), so honoring enable_bvh_tree only matters at scale.
+BRUTE_FORCE_THRESHOLD = 256
+
+
 def closest_hit(scene: S.Scene, o, d, u_vol):
     """World hit — BVH or linear scan, per settings.enable_bvh_tree
-    (lib/core/render.rs:68-72)."""
-    if scene.settings.enable_bvh_tree and scene.bvh is not None:
+    (lib/core/render.rs:68-72), except that small scenes always take the
+    dense path (see BRUTE_FORCE_THRESHOLD)."""
+    use_bvh = (
+        scene.settings.enable_bvh_tree
+        and scene.bvh is not None
+        and scene.num_primitives > BRUTE_FORCE_THRESHOLD
+    )
+    if use_bvh:
         return intersect_bvh(scene, o, d, u_vol, tmin=T_MIN)
     return intersect_brute(scene, o, d, u_vol, tmin=T_MIN)
 

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Full benchmark suite — one JSON line per benchmark.
+
+Mirrors the reference's four criterion benches (SURVEY.md 2.5) plus this
+framework's own headline metrics:
+
+  simple_render    end-to-end render of scenes/simple.json at 100x100
+                   (benches/simple_render_bench.rs:7-12)
+  bvh_build_8k     BVH construction, 20^3-sphere grid
+                   (benches/bvh_tree_stress.rs:16-30)
+  bvh_build_30k    BVH construction, 10x55x55 grid
+                   (benches/quad_tree_construction.rs:14-27)
+  mesh_render      monkey.obj, 40x40, spp 10, depth 50
+                   (benches/mesh.rs:9-22)
+  fwd_bwd          differentiable render step on benchmark.json (bench.py)
+
+    python scripts/bench_suite.py [--platform cpu] [--skip mesh_render ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REF = "/root/reference"
+
+
+def emit(name, seconds, extra=None):
+    rec = {"bench": name, "seconds": round(seconds, 4)}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def time_best(fn, iters=3):
+    fn()  # warm-up / compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def sphere_grid(nx, ny, nz):
+    import numpy as np
+
+    from raytracingrust_tpu import Lambertian, SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_material(Lambertian((0.5, 0.5, 0.5)))
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                b.add_sphere((i * 1.0, j * 1.0, k * 1.0), 0.3, m)
+    return b
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    cache = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+
+    import dataclasses
+
+    import numpy as np
+
+    from raytracingrust_tpu import Mesh, RenderSettings, SceneBuilder
+    from raytracingrust_tpu.ops.bvh import build_bvh, primitive_bounds
+    from raytracingrust_tpu.render.render import render_linear
+
+    # --- simple_render: scenes/simple.json, 100x100 (reference settings:
+    # spp 5, depth 6, BVH on)
+    if "simple_render" not in args.skip:
+        b = SceneBuilder.from_file(os.path.join(REF, "scenes", "simple.json"))
+        scene = b.build()
+        dt = time_best(
+            lambda: render_linear(scene, 100, 100, seed=0).block_until_ready(),
+            args.iters,
+        )
+        emit("simple_render_100x100", dt, {
+            "rays_per_s": round(100 * 100 * 5 / dt, 1)})
+
+    # --- BVH builds (host side; native C++ when available)
+    if "bvh_build_8k" not in args.skip:
+        spheres = sphere_grid(20, 20, 20).build(with_bvh=False).spheres
+        tris = SceneBuilder().build(with_bvh=False).triangles
+        dt = time_best(lambda: build_bvh(spheres, tris), args.iters)
+        emit("bvh_build_8000", dt)
+
+    if "bvh_build_30k" not in args.skip:
+        spheres = sphere_grid(10, 55, 55).build(with_bvh=False).spheres
+        tris = SceneBuilder().build(with_bvh=False).triangles
+        dt = time_best(lambda: build_bvh(spheres, tris), args.iters)
+        emit("bvh_build_30250", dt)
+
+    # --- mesh render: monkey.obj 40x40 spp10 depth50 (benches/mesh.rs)
+    if "mesh_render" not in args.skip:
+        from raytracingrust_tpu import Camera, Lambertian
+
+        b = SceneBuilder()
+        b.camera = Camera.create((0, 0, 3), (0, 0, 0), (0, 1, 0), 40.0, 1.0)
+        b.settings = RenderSettings(samples_per_pixel=10, max_ray_depth=50)
+        m = b.add_material(Lambertian((0.7, 0.7, 0.7)))
+        b.add_mesh(Mesh.from_file(
+            os.path.join(REF, "assets", "monkey.obj"), m))
+        scene = b.build(with_bvh=True)
+        dt = time_best(
+            lambda: render_linear(scene, 40, 40, seed=0).block_until_ready(),
+            args.iters,
+        )
+        emit("mesh_render_monkey_40x40", dt, {
+            "rays_per_s": round(40 * 40 * 10 / dt, 1)})
+
+    # --- headline fwd+bwd (delegates to bench.py logic)
+    if "fwd_bwd" not in args.skip:
+        import bench as bench_mod
+        bench_mod.main(
+            (["--platform", args.platform] if args.platform else [])
+            + ["--iters", str(args.iters)]
+        )
+
+
+if __name__ == "__main__":
+    main()

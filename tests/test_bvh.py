@@ -8,6 +8,9 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+from raytracingrust_tpu.render import integrator as integrator_mod
 
 from raytracingrust_tpu import Lambertian, Metal, RenderSettings, SceneBuilder
 from raytracingrust_tpu.ops.bvh import _build_topology, build_bvh
@@ -83,7 +86,14 @@ def test_bvh_equals_bruteforce_hits():
     )
 
 
-def test_bvh_render_equals_bruteforce_render():
+@pytest.fixture
+def force_bvh(monkeypatch):
+    """Small scenes normally take the dense path (BRUTE_FORCE_THRESHOLD);
+    force traversal so these tests actually exercise the BVH."""
+    monkeypatch.setattr(integrator_mod, "BRUTE_FORCE_THRESHOLD", 0)
+
+
+def test_bvh_render_equals_bruteforce_render(force_bvh):
     builder = grid_scene()
     scene_brute = builder.build(with_bvh=False)
     scene_brute = dataclasses.replace(
@@ -111,7 +121,7 @@ def _assert_renders_match(a, b, frac=0.01):
     assert np.abs(a - b).mean() < 5e-3
 
 
-def test_bvh_with_volumes_exact():
+def test_bvh_with_volumes_exact(force_bvh):
     """Volumes draw per-(ray, volume-ordinal) uniforms, so BVH and brute
     force consume the same randomness and must agree exactly."""
     from raytracingrust_tpu import Isotropic
