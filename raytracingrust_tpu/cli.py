@@ -164,6 +164,18 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Interactive viewer: the reference's windowed app (src/main.rs +
+    src/gui.rs), served over HTTP with progressive accumulation."""
+    from .viewer import serve
+
+    builder = _load(args)
+    serve(builder, args.width, args.height, host=args.host, port=args.port,
+          seed=args.seed, spp_per_pass=args.spp_per_pass,
+          max_passes=args.max_passes)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py is the single source
 
@@ -225,6 +237,26 @@ def main(argv=None) -> int:
     pf.add_argument("--bvh", action="store_true")
     pf.add_argument("--no-bvh", action="store_true")
     pf.set_defaults(fn=cmd_fit)
+
+    pv = sub.add_parser("view", help="interactive web viewer "
+                                     "(progressive render + live editing)")
+    pv.add_argument("scene")
+    pv.add_argument("--width", type=int, default=512)
+    pv.add_argument("--height", type=int, default=512)
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--seed", type=int, default=0)
+    pv.add_argument("--spp-per-pass", type=int, default=None,
+                    help="samples per progressive pass (default: the "
+                         "scene's samples_per_pixel)")
+    pv.add_argument("--max-passes", type=int, default=1024)
+    for flag in ("--spp", "--depth"):
+        pv.add_argument(flag, type=int)
+    pv.add_argument("--clamp", type=float)
+    pv.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
+    pv.add_argument("--bvh", action="store_true")
+    pv.add_argument("--no-bvh", action="store_true")
+    pv.set_defaults(fn=cmd_view)
 
     pb = sub.add_parser("bench", help="run the standard benchmark")
     pb.add_argument("scene", nargs="?",

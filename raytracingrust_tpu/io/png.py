@@ -22,8 +22,8 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """Write an (H, W, 3) or (H, W, 4) uint8 image to ``path``."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) or (H, W, 4) uint8 image as PNG bytes."""
     image = np.asarray(image)
     if image.dtype != np.uint8:
         raise ValueError(f"expected uint8 image, got {image.dtype}")
@@ -34,11 +34,18 @@ def write_png(path: str, image: np.ndarray) -> None:
     header = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # filter byte 0 (None) per scanline
     raw = b"".join(b"\x00" + image[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", header)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """Write an (H, W, 3) or (H, W, 4) uint8 image to ``path``."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(_chunk(b"IHDR", header))
-        f.write(_chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 def read_png(path: str) -> np.ndarray:
