@@ -12,10 +12,10 @@ keeps a block of 2048 rays RESIDENT IN VMEM for the entire bounce chain
   * the sphere loop is UNROLLED over the scene — scene constants live in
     scalar-prefetch SMEM, so for the reference's benchmark scenes this is
     the speed-of-light formulation (no gathers, no BVH, no HBM);
-  * counter-based threefry2x32 implemented in-kernel, bit-compatible with
-    jax.random's cipher and key-derivation chain: the kernel consumes the
-    SAME uniform draws as the XLA integrator, so images agree except for
-    ulp-level arithmetic-order effects;
+  * counter-based threefry2x32 (cipher + counter layout shared with
+    utils/rng.py): the kernel consumes byte-identical uniform draws to the
+    XLA integrator, so images agree except for ulp-level arithmetic-order
+    effects; the bounce chain is a while_loop with an all-dead early-out;
   * material lobes compile only for kinds the scene uses; per-sphere
     material KINDS are static (geometry edits recompile) while all material
     VALUES (albedo/fuzz/ir/emission, camera, background) stay runtime inputs
@@ -29,6 +29,7 @@ Full/Clay mode.  Forward only — gradients use the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models import backgrounds as B
 from ..models import materials as M
 from ..models.scene import MODE_CLAY, MODE_FULL, Scene
+from ..utils.rng import CIPHER_BLOCK, bits_to_uniform, threefry2x32
 from ..utils.types import T_MIN
 
 BLOCK_ROWS = 8
@@ -69,68 +71,26 @@ def supports(scene: Scene) -> bool:
     )
 
 
-# ------------------------------------------------------------ threefry-2x32
+# -------------------------------------------------------- counter-based RNG
+#
+# The cipher + counter layout live in utils/rng.py and are SHARED with the
+# XLA integrator: uniform column c of stream s for ray r is word (c % 2) of
+# threefry2x32(seed, x0=r, x1=s*CIPHER_BLOCK + c//2) in both engines, so the
+# two consume byte-identical randomness (tests/test_pallas.py).
 
-def _rotl(x, r):
-    return (x << r) | (x >> (32 - r))
-
-
-def threefry2x32(k0, k1, x0, x1):
-    """Threefry-2x32, 20 rounds — the jax.random cipher, lane-wise on uint32
-    arrays (validated bit-exact against jax.random in tests/test_pallas.py).
-    """
-    ks0, ks1 = k0, k1
-    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
-    rots0 = (13, 15, 26, 6)
-    rots1 = (17, 29, 16, 24)
-    x0 = x0 + ks0
-    x1 = x1 + ks1
-    sched = (
-        (rots0, ks1, ks2, 1),
-        (rots1, ks2, ks0, 2),
-        (rots0, ks0, ks1, 3),
-        (rots1, ks1, ks2, 4),
-        (rots0, ks2, ks0, 5),
+def _stream_uniforms(k0, k1, ray_id_u32, stream, n: int):
+    """First n uniform columns of (ray, stream) — ceil(n/2) ciphers.
+    ``stream`` may be a traced scalar (the while-loop bounce index)."""
+    base = jnp.broadcast_to(
+        jnp.asarray(stream, jnp.uint32) * np.uint32(CIPHER_BLOCK),
+        ray_id_u32.shape,
     )
-    for rots, inj0, inj1, idx in sched:
-        for r in rots:
-            x0 = x0 + x1
-            x1 = _rotl(x1, np.uint32(r)) ^ x0
-        x0 = x0 + inj0
-        x1 = x1 + inj1 + np.uint32(idx)
-    return x0, x1
-
-
-def _fold_in(k0, k1, data_i32):
-    """jax.random.fold_in: threefry(key, seed_pair(data)); seed_pair(i) for
-    32-bit nonnegative data is (0, i)."""
-    zero = jnp.zeros_like(data_i32, jnp.uint32)
-    return threefry2x32(k0, k1, zero, data_i32.astype(jnp.uint32))
-
-
-def _bits_to_uniform(bits):
-    """uint32 -> f32 [0,1): jax.random._uniform mantissa construction."""
-    mant = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
-    return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
-
-
-def _uniform_at(k0, k1, i):
-    """Element i of jax.random.uniform(key, (n,)) under the (default)
-    partitionable threefry layout: the 64-bit count iota splits into
-    (hi, lo) = (0, i) and the two cipher output words are XORed."""
-    c = lambda v: jnp.full(k0.shape, v, jnp.uint32)
-    a0, a1 = threefry2x32(k0, k1, c(0), c(i))
-    return _bits_to_uniform(a0 ^ a1)
-
-
-def _uniform2(k0, k1):
-    """jax.random.uniform(key, (2,))."""
-    return _uniform_at(k0, k1, 0), _uniform_at(k0, k1, 1)
-
-
-def _uniform4(k0, k1):
-    """jax.random.uniform(key, (4,))."""
-    return tuple(_uniform_at(k0, k1, i) for i in range(4))
+    cols = []
+    for j in range(-(-n // 2)):
+        a0, a1 = threefry2x32(k0, k1, ray_id_u32, base + np.uint32(j))
+        cols.append(bits_to_uniform(a0))
+        cols.append(bits_to_uniform(a1))
+    return cols[:n]
 
 
 # ------------------------------------------------------------------ kernel
@@ -162,14 +122,12 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
         px = px_ref[...]
         py = py_ref[...]
 
-        # per-ray key chain: base(seed) -> fold_in(ray_id)
-        bk0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
-        bk1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
-        rk0, rk1 = _fold_in(bk0, bk1, ray_id)
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
 
         # pixel jitter (stream 0) -> camera ray (lib/core/camera.rs:19-24)
-        jk0, jk1 = _fold_in(rk0, rk1, jnp.zeros_like(ray_id))
-        j1, j2 = _uniform2(jk0, jk1)
+        j1, j2 = _stream_uniforms(k0, k1, ray_u32, 0, 2)
         s = (px + j1) * f(_INV_W)
         t = (py + j2) * f(_INV_H)
         dx = llx + s * hx - t * vx - ox_c
@@ -181,9 +139,6 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
 
         one = jnp.ones_like(dx)
         zero = jnp.zeros_like(dx)
-        thr_r, thr_g, thr_b = one, one, one
-        rad_r, rad_g, rad_b = zero, zero, zero
-        alive = zero < one  # all-True i1 vector
 
         def background(dx, dy, dz):
             ca = (f(_BG + 0), f(_BG + 1), f(_BG + 2))
@@ -194,12 +149,17 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
             tt = 0.5 * (dy * norm + 1.0)
             return tuple((1.0 - tt) * a + tt * b for a, b in zip(ca, cb))
 
-        for b in range(max_depth):
-            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin, radius)
-            sk0, sk1 = _fold_in(
-                rk0, rk1, jnp.full(ray_id.shape, 1 + b, jnp.int32)
-            )
-            u1, u2, u_coin, _ = _uniform4(sk0, sk1)
+        # Bounce chain as a while_loop with an ALL-DEAD EARLY-OUT: blocks are
+        # spatially coherent (consecutive pixels), so sky-only blocks finish
+        # after one bounce instead of running all max_depth iterations
+        # (docs/performance.md "dead-lane waste").  The liveness mask rides
+        # the carry as f32 (Mosaic dislikes i1 loop state).
+        def bounce_body(state):
+            (b, ox, oy, oz, dx, dy, dz,
+             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f) = state
+            alive = alive_f > 0.0
+            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin)
+            u1, u2, u_coin = _stream_uniforms(k0, k1, ray_u32, 1 + b, 3)
 
             # ---- intersect: unrolled sphere loop, direct quadratic form
             a = _dot3(dx, dy, dz, dx, dy, dz)
@@ -393,7 +353,24 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
             dx = jnp.where(cont, ndx, dx)
             dy = jnp.where(cont, ndy, dy)
             dz = jnp.where(cont, ndz, dz)
-            alive = cont
+            alive_f = jnp.where(cont, 1.0, 0.0)
+            return (b + 1, ox, oy, oz, dx, dy, dz,
+                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f)
+
+        def bounce_cond(state):
+            b, *_, alive_f = state
+            return (b < max_depth) & (jnp.max(alive_f) > 0.0)
+
+        state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
+                 one, one, one, zero, zero, zero, one)
+        if os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
+            # perf-ablation knob: fully unrolled chain, no early-out
+            # (measured equal on benchmark.json — docs/performance.md)
+            for _ in range(max_depth):
+                state = bounce_body(state)
+        else:
+            state = jax.lax.while_loop(bounce_cond, bounce_body, state)
+        rad_r, rad_g, rad_b = state[10], state[11], state[12]
 
         out_r[...] = rad_r
         out_g[...] = rad_g

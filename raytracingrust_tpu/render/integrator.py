@@ -68,10 +68,11 @@ def closest_hit(scene: S.Scene, o, d, u_vol):
     return intersect_brute(scene, o, d, u_vol, tmin=T_MIN)
 
 
-def trace_paths(scene: S.Scene, o, d, keys):
+def trace_paths(scene: S.Scene, o, d, key, ray_ids):
     """Trace a wavefront to completion -> per-ray radiance (R, 3).
 
-    ``keys``: per-ray PRNG keys (from rng.ray_keys on global ray ids).
+    ``key``: (2,) uint32 seed words (rng.base_key); ``ray_ids``: (R,) global
+    ray ids — together they define every uniform draw (counter-based RNG).
     """
     settings = scene.settings
     mode = settings.mode
@@ -83,7 +84,7 @@ def trace_paths(scene: S.Scene, o, d, keys):
         # single intersection, no scatter chain (lib/core/render.rs:42-49)
         if settings.max_ray_depth <= 0:
             return jnp.zeros_like(o)
-        u = rng.bounce_uniforms(keys, bounce_stream(0), n_uniforms)
+        u = rng.ray_uniforms(key, ray_ids, bounce_stream(0), n_uniforms)
         hit = closest_hit(scene, o, d, u[:, n_shade:])
         bg = scene.background.sample(d)
         if mode == S.MODE_RANDOM:
@@ -98,7 +99,7 @@ def trace_paths(scene: S.Scene, o, d, keys):
         if _ABLATE_RNG:
             u = jnp.full((o.shape[0], n_uniforms), 0.5)
         else:
-            u = rng.bounce_uniforms(keys, bounce_stream(b), n_uniforms)
+            u = rng.ray_uniforms(key, ray_ids, bounce_stream(b), n_uniforms)
         u_vol = u[:, n_shade:]
         hit = closest_hit(scene, o, d, u_vol)
 

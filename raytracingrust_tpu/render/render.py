@@ -58,13 +58,12 @@ def pixel_radiance(scene: Scene, pixel_ids, width: int, height: int, key):
     x = (pid % width).astype(jnp.float32)
     y = (pid // width).astype(jnp.float32)
 
-    keys = rng.ray_keys(key, ray_ids)
-    jitter = rng.stream_uniform(keys, JITTER_STREAM, (2,))
+    jitter = rng.ray_uniforms(key, ray_ids, JITTER_STREAM, 2)
     u = (x + jitter[:, 0]) / (width - 1)
     v = (y + jitter[:, 1]) / (height - 1)
 
     o, d = scene.camera.get_rays(u, v)
-    radiance = trace_paths(scene, o, d, keys)
+    radiance = trace_paths(scene, o, d, key, ray_ids)
 
     # firefly clamp per sample (lib/core/render.rs:95-97), then mean
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)

@@ -3,10 +3,20 @@
 The reference uses unseeded per-OS-thread ``thread_rng`` everywhere
 (lib/core/render.rs:80, lib/materials.rs:127,151, lib/volume.rs:57,
 lib/utils/sample.rs:59-79), so its renders are not reproducible (SURVEY.md
-quirk Q10).  Here every random draw is a pure function of
-``(seed, ray_id, bounce, stream)`` via threefry, so renders are bit-identical
-across reruns AND across device-mesh layouts: a ray's randomness depends only
-on its global id, never on which chip traced it.
+quirk Q10).  Here every draw is a pure function of ``(seed, ray_id, stream,
+column)``: one threefry-2x32 cipher invocation with the 64-bit seed as the
+key and ``(ray_id, stream*CIPHER_BLOCK + column/2)`` as the 64-bit counter
+yields TWO 32-bit words = two U[0,1) values.  Renders are bit-identical
+across reruns AND across device-mesh layouts (a ray's randomness depends only
+on its global id, never on which chip traced it), and the XLA integrator and
+the Pallas megakernel consume byte-identical uniforms because both call THIS
+module's cipher.
+
+This layout costs ceil(n/2) ciphers per (ray, stream) — the jax.random
+equivalent (fold_in per ray + fold_in per stream + one cipher per element of
+``uniform(key, (n,))``) costs n + 2.  At 20 rounds per cipher that is most of
+the per-bounce VPU work, so the counter layout is a direct rays/s win
+(docs/performance.md).
 
 Distribution parity with the reference samplers (lib/utils/sample.rs):
   * ``sample_unit_sphere_surface`` — rejection-sample a cube, keep |v|<=1,
@@ -21,40 +31,79 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .types import PI
 
+# Counter layout: x1 = stream * CIPHER_BLOCK + cipher_index.  Bounds:
+# up to 2*CIPHER_BLOCK uniforms per (ray, stream) and 2^32/CIPHER_BLOCK
+# streams (jitter + one per bounce; depth caps at 50 in the reference GUI).
+CIPHER_BLOCK = 256
+
+
+def threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32, 20 rounds — jax.random's cipher, written lane-wise on
+    uint32 arrays so it lowers identically inside Pallas kernels and XLA
+    (validated bit-exact against jax.extend.random.threefry_2x32 in
+    tests/test_pallas.py)."""
+    rotl = lambda x, r: (x << r) | (x >> (32 - r))
+    ks0, ks1 = k0, k1
+    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    rots0 = (13, 15, 26, 6)
+    rots1 = (17, 29, 16, 24)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    sched = (
+        (rots0, ks1, ks2, 1),
+        (rots1, ks2, ks0, 2),
+        (rots0, ks0, ks1, 3),
+        (rots1, ks1, ks2, 4),
+        (rots0, ks2, ks0, 5),
+    )
+    for rots, inj0, inj1, idx in sched:
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl(x1, np.uint32(r)) ^ x0
+        x0 = x0 + inj0
+        x1 = x1 + inj1 + np.uint32(idx)
+    return x0, x1
+
+
+def bits_to_uniform(bits):
+    """uint32 -> f32 U[0,1) via the IEEE mantissa trick (set exponent to
+    2^0, fill the 23-bit mantissa with the top random bits, subtract 1)."""
+    mant = (bits >> np.uint32(9)) | np.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(mant, jnp.float32) - 1.0
+
 
 def base_key(seed: int):
-    return jax.random.key(seed)
+    """64-bit seed -> (2,) uint32 (hi, lo) cipher key words — the same word
+    layout jax.random.key(seed) uses."""
+    seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+    return jnp.array([seed >> 32, seed & 0xFFFFFFFF], jnp.uint32)
 
 
-def ray_keys(key, ray_ids):
-    """One derived key per ray, keyed by the ray's *global* id.
+def ray_uniforms(key, ray_ids, stream, n: int):
+    """(R, n) independent U[0,1) draws for one stream of a ray batch.
 
-    ``ray_ids`` is ``(R,)`` int32 (global pixel*spp + sample index), so the
-    stream is invariant to batching/tiling/sharding layout.
+    ``key``: (2,) uint32 from :func:`base_key` (may be traced — re-seeding
+    never recompiles).  ``ray_ids``: (R,) int32 GLOBAL ray ids.  ``stream``:
+    per-use stream id (0 = pixel jitter, 1 + b = bounce b); may be traced.
     """
-    return jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, ray_ids)
-
-
-def bounce_uniforms(keys, bounce, n: int):
-    """(R, n) independent U[0,1) draws for one bounce.
-
-    ``keys``: per-ray keys from :func:`ray_keys`; ``bounce`` may be traced.
-    """
-    def draw(k):
-        return jax.random.uniform(jax.random.fold_in(k, bounce), (n,))
-
-    return jax.vmap(draw)(keys)
-
-
-def stream_uniform(keys, stream: int, shape=()):
-    """Per-ray U[0,1) draws on a named stream (e.g. pixel jitter)."""
-    def draw(k):
-        return jax.random.uniform(jax.random.fold_in(k, stream), shape)
-
-    return jax.vmap(draw)(keys)
+    n_ciphers = -(-n // 2)
+    if n_ciphers > CIPHER_BLOCK:
+        raise ValueError(f"{n} uniforms exceed the stream's cipher block")
+    x0 = ray_ids.astype(jnp.uint32)
+    k0 = jnp.broadcast_to(key[0], x0.shape)
+    k1 = jnp.broadcast_to(key[1], x0.shape)
+    base = jnp.asarray(stream, jnp.uint32) * np.uint32(CIPHER_BLOCK)
+    cols = []
+    for j in range(n_ciphers):
+        x1 = jnp.broadcast_to(base + np.uint32(j), x0.shape)
+        a0, a1 = threefry2x32(k0, k1, x0, x1)
+        cols.append(bits_to_uniform(a0))
+        cols.append(bits_to_uniform(a1))
+    return jnp.stack(cols[:n], axis=-1)
 
 
 def unit_sphere_surface(u1, u2):

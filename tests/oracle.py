@@ -83,11 +83,12 @@ class Oracle:
 
     # ------------------------------------------------------------ sampling
     def uniforms(self, ray_id: int, stream: int, n: int) -> np.ndarray:
-        import jax
+        import jax.numpy as jnp
 
-        key = jax.random.fold_in(rng_mod.base_key(self.seed), ray_id)
-        key = jax.random.fold_in(key, stream)
-        return np.asarray(jax.random.uniform(key, (n,)))
+        return np.asarray(rng_mod.ray_uniforms(
+            rng_mod.base_key(self.seed),
+            jnp.asarray([ray_id], jnp.int32), stream, n,
+        ))[0]
 
     # ---------------------------------------------------------- intersection
     def hit_sphere(self, c, r, o, d, tmin, tmax):
