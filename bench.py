@@ -97,13 +97,18 @@ def main(argv=None) -> int:
     else:
         step = jax.jit(jax.grad(loss_fn))
 
+    # FRESH inputs per iteration: the TPU tunnel deduplicates identical
+    # dispatches and can report fake times (docs/performance.md)
+    variants = [jax.tree.map(lambda x: x + 1e-7 * i, params)
+                for i in range(args.iters + 1)]
+
     # compile
-    out = step(params)
+    out = step(variants[0])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = step(params)
+    for i in range(args.iters):
+        out = step(variants[i + 1])
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / args.iters
 

@@ -1,0 +1,163 @@
+"""Multi-host rendering + shard_map collectives.
+
+The reference is single-process shared memory (SURVEY.md section 2.6: "no
+sockets/MPI/NCCL").  This module is the TPU-native distributed layer it never
+had:
+
+  * :func:`initialize` — per-host ``jax.distributed.initialize`` (DCN
+    coordination; a no-op when single-process or already initialized);
+  * :func:`render_spp_sharded` — a 2-D ``(rays, spp)`` mesh where the
+    sample-per-pixel axis is sharded too, and the sample mean is a real
+    ``psum`` collective riding ICI inside ``shard_map``.  This is the right
+    decomposition for the reference's interactive envelope (spp up to 10,000
+    at fixed resolution, src/gui.rs:222): pixels alone stop scaling, samples
+    never do;
+  * :func:`render_multihost` — process-local tiling: each host generates only
+    ITS pixel ids (no broadcast — camera and scene are replicated), renders
+    its shard under a global jit, and the full frame is assembled on every
+    host with ``process_allgather`` (the DCN edge).
+
+RNG is counter-based over global (pixel, sample) ids, so every decomposition
+here is bitwise identical to the single-chip render (tests/test_distributed.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.scene import Scene
+from ..utils import rng
+from ..render.render import pixel_radiance, sample_radiance
+from .sharding import RAY_AXIS, replicate_scene
+
+SPP_AXIS = "spp"
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Per-host distributed init (call once, before device use).
+
+    Arguments default to the standard JAX env vars / TPU metadata, so on a
+    real pod slice ``initialize()`` with no arguments does the right thing.
+    Returns True when a multi-process runtime was initialized, False for the
+    single-process no-op (local runs, CPU tests, the benchmark driver).
+    """
+    explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not explicit and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+        return False  # single process: nothing to coordinate
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        return jax.process_count() > 1  # already initialized
+    return True
+
+
+def make_mesh_2d(n_ray_shards: int, n_spp_shards: int,
+                 devices=None) -> Mesh:
+    """(rays, spp) mesh over the first n_ray*n_spp devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_ray_shards * n_spp_shards
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_ray_shards, n_spp_shards)
+    return Mesh(grid, (RAY_AXIS, SPP_AXIS))
+
+
+def render_spp_sharded(scene: Scene, width: int, height: int, *,
+                       mesh: Mesh, seed: int = 0) -> np.ndarray:
+    """Render with BOTH pixels and samples sharded -> (H, W, 3) f32.
+
+    Inside shard_map each device traces its (pixel tile x sample slice)
+    block; the spp mean is `psum / spp` over the "spp" mesh axis — an ICI
+    all-reduce, the collective the reference's rayon pool never needed
+    (SURVEY.md 2.6 "Communication backend").
+    """
+    n_ray = mesh.shape[RAY_AXIS]
+    n_spp = mesh.shape[SPP_AXIS]
+    spp = scene.settings.samples_per_pixel
+    if spp % n_spp:
+        raise ValueError(f"samples_per_pixel={spp} not divisible by "
+                         f"spp mesh axis {n_spp}")
+    spp_local = spp // n_spp
+
+    n_pixels = width * height
+    padded = math.ceil(n_pixels / n_ray) * n_ray
+    pixel_ids = np.arange(padded, dtype=np.int32) % n_pixels
+
+    scene = replicate_scene(scene, mesh)
+    pixel_ids = jax.device_put(
+        pixel_ids, NamedSharding(mesh, P(RAY_AXIS))
+    )
+    key = rng.base_key(seed)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+    )
+    def shard_fn(scene, ids, key):
+        s0 = jax.lax.axis_index(SPP_AXIS) * spp_local
+        rad = sample_radiance(scene, ids, width, height, key,
+                              sample_offset=s0, n_samples=spp_local)
+        # mean over the global sample axis: local sum + ICI all-reduce
+        return jax.lax.psum(rad.sum(axis=1), SPP_AXIS) / spp
+
+    out = jax.jit(shard_fn)(scene, pixel_ids, key)
+    return np.asarray(out)[:n_pixels].reshape(height, width, 3)
+
+
+def render_multihost(scene: Scene, width: int, height: int, *,
+                     seed: int = 0, tile_rays: int | None = None
+                     ) -> np.ndarray:
+    """Every-host full-frame render under multi-process JAX -> (H, W, 3) f32.
+
+    Each process feeds only its local shard of the pixel-id axis (addressable
+    devices), jit runs with global-array semantics (collectives ride ICI
+    within a slice, DCN across), and the frame is allgathered back to every
+    host.  Under a single process this degrades to the plain sharded render.
+    """
+    devices = jax.devices()  # global, all processes
+    mesh = Mesh(np.asarray(devices), (RAY_AXIS,))
+    sharding = NamedSharding(mesh, P(RAY_AXIS))
+
+    n_pixels = width * height
+    padded = math.ceil(n_pixels / len(devices)) * len(devices)
+    global_ids = np.arange(padded, dtype=np.int32) % n_pixels
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pixel_ids = multihost_utils.host_local_array_to_global_array(
+            global_ids.reshape(jax.process_count(), -1)[jax.process_index()],
+            mesh, P(RAY_AXIS),
+        )
+    else:
+        pixel_ids = jax.device_put(global_ids, sharding)
+
+    scene = replicate_scene(scene, mesh)
+    fn = jax.jit(
+        lambda scene, ids, key: pixel_radiance(scene, ids, width, height,
+                                               key),
+        in_shardings=(None, sharding, None),
+        out_shardings=sharding,
+    )
+    out = fn(scene, pixel_ids, rng.base_key(seed))
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
+    return np.asarray(out)[:n_pixels].reshape(height, width, 3)

@@ -140,9 +140,29 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
         jnp.zeros_like(o),      # radiance
         jnp.ones(o.shape[:-1], bool),  # alive
     )
-    (o, d, throughput, radiance, alive), _ = jax.lax.scan(
-        bounce, init, jnp.arange(settings.max_ray_depth)
-    )
+    # Unrolling the bounce chain lets XLA fuse across bounces instead of
+    # materializing the full wavefront carry (~100 MB at 2M rays) in HBM per
+    # iteration — profiling showed carry copies are ~90% of runtime
+    # (docs/performance.md).  Deep chains (mesh bench runs depth 50) keep the
+    # scan: the unrolled graph would take minutes to compile for little gain.
+    # Knobs: RTRT_SCAN_UNROLL=0 forces scan, =1 forces unroll.
+    knob = os.environ.get("RTRT_SCAN_UNROLL")
+    if knob is not None:
+        unroll = knob != "0"
+    else:
+        unroll = settings.max_ray_depth <= 12
+    body = bounce
+    if os.environ.get("RTRT_REMAT") == "1":
+        body = jax.checkpoint(bounce, static_argnums=())
+    if unroll:
+        carry = init
+        for b in range(settings.max_ray_depth):
+            carry, _ = body(carry, b)
+        (o, d, throughput, radiance, alive) = carry
+    else:
+        (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+            body, init, jnp.arange(settings.max_ray_depth)
+        )
     # rays still alive after max_ray_depth bounces contribute black
     # (lib/core/render.rs:34-36)
     return radiance

@@ -50,11 +50,26 @@ def pixel_radiance(scene: Scene, pixel_ids, width: int, height: int, key):
     sharding (SURVEY.md Q10 fix).
     """
     spp = scene.settings.samples_per_pixel
+    return sample_radiance(scene, pixel_ids, width, height, key,
+                           sample_offset=0, n_samples=spp).mean(axis=1)
+
+
+def sample_radiance(scene: Scene, pixel_ids, width: int, height: int, key,
+                    *, sample_offset, n_samples: int):
+    """Per-sample clamped radiance -> (P, n_samples, 3) for samples
+    [sample_offset, sample_offset + n_samples) of each pixel.
+
+    The RNG counter is the GLOBAL ray id (pixel * spp + global sample index),
+    so a sample-sharded render (parallel/distributed.py) produces bitwise the
+    same per-sample values as the single-device path.  ``sample_offset`` may
+    be a traced scalar (e.g. ``axis_index`` inside shard_map)."""
+    spp = scene.settings.samples_per_pixel
     p = pixel_ids.shape[0]
 
-    ray_ids = pixel_ids[:, None] * spp + jnp.arange(spp)[None, :]  # (P, spp)
+    sample_ids = sample_offset + jnp.arange(n_samples)
+    ray_ids = pixel_ids[:, None] * spp + sample_ids[None, :]  # (P, S)
     ray_ids = ray_ids.reshape(-1)
-    pid = jnp.repeat(pixel_ids, spp)
+    pid = jnp.repeat(pixel_ids, n_samples)
     x = (pid % width).astype(jnp.float32)
     y = (pid // width).astype(jnp.float32)
 
@@ -65,9 +80,10 @@ def pixel_radiance(scene: Scene, pixel_ids, width: int, height: int, key):
     o, d = scene.camera.get_rays(u, v)
     radiance = trace_paths(scene, o, d, key, ray_ids)
 
-    # firefly clamp per sample (lib/core/render.rs:95-97), then mean
+    # firefly clamp per sample (lib/core/render.rs:95-97); the mean over
+    # samples happens in the caller (possibly as a cross-device collective)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
-    return radiance.reshape(p, spp, 3).mean(axis=1)
+    return radiance.reshape(p, n_samples, 3)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_pixels"))

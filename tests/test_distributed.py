@@ -1,0 +1,66 @@
+"""Distributed-layer tests on the 8-way virtual CPU mesh: spp-axis sharding
+with a real psum collective, multi-host entry points (single-process path),
+and RNG shard-invariance across 2-D decompositions."""
+
+import jax
+import numpy as np
+import pytest
+
+from raytracingrust_tpu import (
+    Dielectric,
+    Lambertian,
+    Metal,
+    RenderSettings,
+    SceneBuilder,
+)
+from raytracingrust_tpu.parallel import distributed as dist
+from raytracingrust_tpu.render.render import render_linear
+
+
+def scene():
+    b = SceneBuilder()
+    b.settings = RenderSettings(samples_per_pixel=8, max_ray_depth=4)
+    m = b.add_material(Lambertian((0.6, 0.4, 0.3)))
+    mm = b.add_material(Metal((0.9, 0.9, 0.9), 0.05))
+    g = b.add_material(Dielectric(1.5))
+    b.add_sphere((0, -100.5, -1), 100.0, m)
+    b.add_sphere((0, 0, -1.2), 0.5, mm)
+    b.add_sphere((0.8, -0.2, -1.0), 0.3, g)
+    return b.build()
+
+
+def single_frame(s, w, h, seed):
+    return np.asarray(render_linear(s, w, h, seed=seed, tile_rays=1 << 20))
+
+
+@pytest.mark.parametrize("shape", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_spp_sharded_matches_single(shape):
+    """Any (rays, spp) factorization == the single-device render: the psum
+    sample mean must be exactly the mean the fused path computes."""
+    s = scene()
+    ref = single_frame(s, 16, 8, seed=3)
+    mesh = dist.make_mesh_2d(*shape)
+    out = dist.render_spp_sharded(s, 16, 8, mesh=mesh, seed=3)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_spp_not_divisible_raises():
+    s = scene()  # spp=8
+    mesh = dist.make_mesh_2d(2, 3, devices=jax.devices()[:6])
+    with pytest.raises(ValueError, match="not divisible"):
+        dist.render_spp_sharded(s, 8, 4, mesh=mesh)
+
+
+def test_multihost_single_process_path():
+    """Under one process render_multihost degrades to the sharded render and
+    must agree with the reference frame."""
+    s = scene()
+    ref = single_frame(s, 19, 7, seed=11)  # 133 pixels: forces padding
+    out = dist.render_multihost(s, 19, 7, seed=11)
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_initialize_noop_single_process(monkeypatch):
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert dist.initialize() is False
