@@ -42,11 +42,13 @@ def build_scene(path: str, spp: int, depth: int):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/reference/scenes/benchmark.json")
-    ap.add_argument("--width", type=int, default=256)
-    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--engine", default="auto",
+                    choices=["auto", "pallas", "xla"])
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); note the env var "
@@ -84,15 +86,17 @@ def main(argv=None) -> int:
 
     def loss_fn(params):
         s = apply_params(scene, params)
-        # engine="xla": the Pallas megakernel is forward-only (no AD rule)
+        # engine auto: the Pallas megakernel is fully differentiable (its
+        # custom_vjp backward is the fused forward-replay+vjp kernel); XLA
+        # is the fallback off-TPU / out of kernel scope
         img = render_linear(s, w, h, seed=0, tile_rays=tile_rays,
-                            engine="xla")
+                            engine=args.engine)
         return jnp.mean((img - target) ** 2)
 
     if args.forward_only:
         step = jax.jit(
             lambda p: render_linear(apply_params(scene, p), w, h, seed=0,
-                                    tile_rays=tile_rays)
+                                    tile_rays=tile_rays, engine=args.engine)
         )
     else:
         step = jax.jit(jax.grad(loss_fn))

@@ -99,32 +99,28 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
-def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
-    """sphere_kinds: static tuple of material-kind ids, one per sphere."""
+def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
+                   sphere_kinds, bg_kind, clay, unrolled):
+    """The megakernel's radiance computation as a PURE function.
+
+    ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
+    scalar-prefetch in the forward kernel, a VMEM row in the grad kernel so
+    ``jax.vjp`` of this very function yields the parameter cotangents).
+    ``unrolled`` replaces the early-out while_loop with a static chain —
+    required under vjp (reverse-mode cannot transpose while_loop).
+    Returns (rad_r, rad_g, rad_b).
+    """
     present = set(sphere_kinds)
     lam = M.LAMBERTIAN in present
     met = M.METAL in present
     die = M.DIELECTRIC in present
     emi = M.EMISSION in present
 
-    def kernel(iparams, fparams, ray_id_ref, px_ref, py_ref,
-               out_r, out_g, out_b):
-        f = lambda i: fparams[i]
-        seed_hi = iparams[0].astype(jnp.uint32)
-        seed_lo = iparams[1].astype(jnp.uint32)
-
+    if True:  # keep the historical indentation of the kernel body
         ox_c, oy_c, oz_c = f(_CAM + 0), f(_CAM + 1), f(_CAM + 2)
         hx, hy, hz = f(_CAM + 3), f(_CAM + 4), f(_CAM + 5)
         vx, vy, vz = f(_CAM + 6), f(_CAM + 7), f(_CAM + 8)
         llx, lly, llz = f(_CAM + 9), f(_CAM + 10), f(_CAM + 11)
-
-        ray_id = ray_id_ref[...]
-        px = px_ref[...]
-        py = py_ref[...]
-
-        ray_u32 = ray_id.astype(jnp.uint32)
-        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
-        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
 
         # pixel jitter (stream 0) -> camera ray (lib/core/camera.rs:19-24)
         j1, j2 = _stream_uniforms(k0, k1, ray_u32, 0, 2)
@@ -363,15 +359,35 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
 
         state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                  one, one, one, zero, zero, zero, one)
-        if os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
-            # perf-ablation knob: fully unrolled chain, no early-out
+        if unrolled or os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
+            # static chain: required under vjp; also the perf-ablation knob
             # (measured equal on benchmark.json — docs/performance.md)
             for _ in range(max_depth):
                 state = bounce_body(state)
         else:
             state = jax.lax.while_loop(bounce_cond, bounce_body, state)
-        rad_r, rad_g, rad_b = state[10], state[11], state[12]
+        return state[10], state[11], state[12]
 
+
+def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
+    """Forward kernel: sphere_kinds is a static tuple of material-kind ids,
+    one per sphere; fparams rides scalar-prefetch SMEM."""
+
+    def kernel(iparams, fparams, ray_id_ref, px_ref, py_ref,
+               out_r, out_g, out_b):
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+        ray_id = ray_id_ref[...]
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+
+        rad_r, rad_g, rad_b = _radiance_math(
+            lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
+            n_spheres=n_spheres, max_depth=max_depth,
+            sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+            unrolled=False,
+        )
         out_r[...] = rad_r
         out_g[...] = rad_g
         out_b[...] = rad_b
@@ -379,7 +395,130 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
     return kernel
 
 
+def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
+                      k_params):
+    """Fused forward-replay + backward kernel.
+
+    ``jax.vjp`` over :func:`_radiance_math` traces reverse-mode AD INTO the
+    kernel: the unrolled bounce chain's residuals live in VMEM/registers for
+    the whole fwd+bwd of a ray block — the whole point; the XLA grad path
+    round-trips every residual through HBM.  Parameter cotangents accumulate
+    across grid steps into one (1, K) block (TPU grid steps run sequentially
+    on the core, so += is race-free).
+    """
+
+    def kernel(iparams, fp_ref, ray_id_ref, px_ref, py_ref,
+               g_r_ref, g_g_ref, g_b_ref, dfp_ref):
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+        ray_id = ray_id_ref[...]
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+        px = px_ref[...]
+        py = py_ref[...]
+
+        def block_radiance(fp_row):
+            return _radiance_math(
+                lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
+                n_spheres=n_spheres, max_depth=max_depth,
+                sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+                unrolled=True,
+            )
+
+        _, vjp_fn = jax.vjp(block_radiance, fp_ref[...])
+        (dfp,) = vjp_fn((g_r_ref[...], g_g_ref[...], g_b_ref[...]))
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dfp_ref[...] = jnp.zeros_like(dfp_ref)
+
+        dfp_ref[...] += dfp
+
+    return kernel
+
+
 # ------------------------------------------------------------------ driver
+
+@functools.lru_cache(maxsize=64)
+def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
+                   rows, interpret):
+    """custom_vjp-wrapped block radiance for one static configuration.
+
+    Primal: the early-out forward kernel.  Backward: the fused
+    forward-replay + vjp kernel (_make_grad_kernel) — the entire
+    differentiable step never spills the wavefront to HBM.  Cached per
+    static config so jit re-traces reuse the same custom_vjp instance.
+    """
+    shape2d = (rows, BLOCK_COLS)
+    grid = rows // BLOCK_ROWS
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+
+    fwd_kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind,
+                              clay)
+    fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=[block, block, block],
+        out_specs=[block, block, block],
+    )
+
+    def run_forward(iparams, fparams, ray_ids, px, py):
+        return pl.pallas_call(
+            fwd_kernel,
+            grid_spec=fwd_grid_spec,
+            out_shape=[out, out, out],
+            interpret=interpret,
+        )(iparams, fparams, ray_ids, px, py)
+
+    k = int(_SPHERES + n_spheres * _SPHERE_STRIDE)
+    k_pad = -(-k // 128) * 128
+    grad_kernel = _make_grad_kernel(n_spheres, max_depth, sphere_kinds,
+                                    bg_kind, clay, k_pad)
+    param_block = pl.BlockSpec((1, k_pad), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    grad_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[param_block, block, block, block, block, block, block],
+        out_specs=[param_block],
+    )
+
+    def run_grad(iparams, fparams, ray_ids, px, py, g_r, g_g, g_b):
+        fp_row = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(fparams)
+        (dfp,) = pl.pallas_call(
+            grad_kernel,
+            grid_spec=grad_grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((1, k_pad), jnp.float32)],
+            interpret=interpret,
+        )(iparams, fp_row, ray_ids, px, py, g_r, g_g, g_b)
+        return dfp[0, :k]
+
+    @jax.custom_vjp
+    def radiance(fparams, iparams, ray_ids, px, py):
+        return run_forward(iparams, fparams, ray_ids, px, py)
+
+    def radiance_fwd(fparams, iparams, ray_ids, px, py):
+        primal = run_forward(iparams, fparams, ray_ids, px, py)
+        return primal, (fparams, iparams, ray_ids, px, py)
+
+    def radiance_bwd(res, cts):
+        fparams, iparams, ray_ids, px, py = res
+        g_r, g_g, g_b = cts
+        dfp = run_grad(iparams, fparams, ray_ids, px, py, g_r, g_g, g_b)
+        f0 = jax.dtypes.float0
+        return (dfp,
+                np.zeros(iparams.shape, f0),
+                np.zeros(ray_ids.shape, f0),
+                jnp.zeros_like(px), jnp.zeros_like(py))
+
+    radiance.defvjp(radiance_fwd, radiance_bwd)
+    return radiance
+
 
 def _pack_fparams(scene: Scene, width: int, height: int):
     """Runtime scene constants -> (K,) f32 (traced; no host sync)."""
@@ -461,33 +600,19 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
 
     fparams = _pack_fparams(scene, width, height)
 
-    kernel = _make_kernel(
-        n_spheres=len(scene.spheres),
-        max_depth=scene.settings.max_ray_depth,
-        sphere_kinds=sphere_kinds,
-        bg_kind=scene.background.kind,
-        clay=scene.settings.mode == MODE_CLAY,
+    # Differentiable: gradients w.r.t. scene parameters flow through
+    # _pack_fparams (plain jnp) into the custom_vjp, whose backward is the
+    # fused Pallas forward-replay+vjp kernel.
+    radiance_fn = _radiance_cvjp(
+        len(scene.spheres),
+        scene.settings.max_ray_depth,
+        sphere_kinds,
+        scene.background.kind,
+        scene.settings.mode == MODE_CLAY,
+        rows,
+        interpret,
     )
-
-    grid = rows // BLOCK_ROWS
-    # index_map receives the scalar-prefetch refs after the grid index
-    block = pl.BlockSpec(
-        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid,),
-        in_specs=[block, block, block],
-        out_specs=[block, block, block],
-    )
-    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
-    rad_r, rad_g, rad_b = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[out, out, out],
-        interpret=interpret,
-    )(iparams, fparams, ray_ids, px, py)
+    rad_r, rad_g, rad_b = radiance_fn(fparams, iparams, ray_ids, px, py)
 
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

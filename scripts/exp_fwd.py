@@ -89,6 +89,14 @@ def main():
         f = jax.jit(jax.grad(loss))
         timeit("xla_fwdbwd", f, params)
 
+    if "pallas_fwdbwd" in args.cells:
+        def loss_p(p):
+            img = render_linear(apply_params(scene, p), w, h, seed=0,
+                                tile_rays=tile, engine="pallas")
+            return jnp.mean((img - target) ** 2)
+        f = jax.jit(jax.grad(loss_p))
+        timeit("pallas_fwdbwd", f, params)
+
 
 if __name__ == "__main__":
     main()

@@ -166,3 +166,64 @@ def test_supports_gate():
     idx = b3.add_sphere((0, 3, -1), 0.5, iso)
     b3.add_volume(idx, 2.0)
     assert not PK.supports(b3.build(with_bvh=False))
+
+
+# ------------------------------------------------------- differentiable path
+
+def _pallas_grad_setup(w=12, h=8):
+    """Loss grads via both engines on the unit-scale scene (where the
+    engines are bit-identical forward, so reparameterized gradients must
+    agree too — both consume the same uniforms)."""
+    from raytracingrust_tpu.diff.grad import apply_params, extract_params
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.2)
+    b.settings = RenderSettings(samples_per_pixel=2, max_ray_depth=3,
+                                enable_bvh_tree=False)
+    m1 = b.add_material(Lambertian((0.7, 0.4, 0.2)))
+    m2 = b.add_material(Metal((0.9, 0.9, 0.9), 0.1))
+    m3 = b.add_material(Emission((1.5, 1.2, 0.9)))
+    m4 = b.add_material(Dielectric(1.5))
+    b.add_sphere((0, -0.3, -1.2), 0.4, m1)
+    b.add_sphere((0.8, 0.2, -1.5), 0.4, m2)
+    b.add_sphere((-0.8, 0.2, -1.5), 0.4, m3)
+    b.add_sphere((0.1, 0.5, -1.0), 0.25, m4)
+    scene = b.build(with_bvh=False)
+
+    names = ("albedo", "fuzz", "ir", "emission", "cam_lookfrom", "bg_color_a")
+    params = extract_params(scene, names)
+
+    def make_loss(engine):
+        def loss(p):
+            s = apply_params(scene, p)
+            img = render_linear(s, w, h, seed=0, engine=engine,
+                                tile_rays=1 << 20)
+            return jnp.mean(img * jnp.cos(img))  # nontrivial cotangents
+        return loss
+
+    return params, make_loss
+
+
+def test_pallas_grad_matches_xla():
+    """The fused Pallas fwd+bwd kernel must reproduce the XLA reverse-mode
+    gradients (identical RNG -> identical paths -> same derivative chain)."""
+    params, make_loss = _pallas_grad_setup()
+    g_xla = jax.grad(make_loss("xla"))(params)
+    g_pal = jax.grad(make_loss("pallas"))(params)
+    for k in g_xla:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[k]), np.asarray(g_xla[k]),
+            rtol=2e-3, atol=2e-5,
+            err_msg=f"param {k}",
+        )
+
+
+def test_pallas_value_and_grad_consistent():
+    """value_and_grad primal via the custom_vjp forward must equal the plain
+    forward render (the early-out while_loop and the unrolled replay are the
+    same math)."""
+    params, make_loss = _pallas_grad_setup()
+    loss = make_loss("pallas")
+    v_plain = loss(params)
+    v_vjp, _ = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(v_plain), float(v_vjp), rtol=1e-6)
