@@ -49,14 +49,21 @@ def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
 
 
 def render_linear_sharded(scene: Scene, width: int, height: int, *,
-                          mesh: Mesh | None = None, seed: int = 0):
+                          mesh: Mesh | None = None, seed: int = 0,
+                          engine: str = "auto"):
     """Full frame on a device mesh -> (H, W, 3) f32 mean radiance.
 
     Pixels are padded to a multiple of the mesh size and sharded along the
     ray axis; the per-ray RNG is keyed by global pixel id, so the result is
     bitwise identical for ANY mesh size (shard-invariance test in
     tests/test_sharding.py).
+
+    Each shard runs the same engine the single-chip path would pick: on TPU
+    the Pallas megakernel executes per device inside shard_map, so multi-chip
+    scaling is over the fast kernel, not the XLA fallback.
     """
+    from ..render.render import use_pallas
+
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n_pixels = width * height
@@ -67,13 +74,36 @@ def render_linear_sharded(scene: Scene, width: int, height: int, *,
     pixel_ids = jax.device_put(pixel_ids, sharding)
     scene = replicate_scene(scene, mesh)
 
-    fn = jax.jit(
-        lambda scene, ids, key: pixel_radiance(scene, ids, width, height,
-                                               key),
-        in_shardings=(None, sharding, None),
-        out_shardings=sharding,
-    )
-    out = fn(scene, pixel_ids, rng.base_key(seed))
+    if use_pallas(scene, engine):
+        from ..ops.pallas_megakernel import (
+            _sphere_kinds,
+            pixel_radiance_pallas,
+            seed_words,
+        )
+
+        kinds = _sphere_kinds(scene)
+        interpret = jax.devices()[0].platform == "cpu"
+
+        def per_shard(scene, ids, iparams):
+            return pixel_radiance_pallas(
+                scene, ids, width, height, iparams,
+                sphere_kinds=kinds, interpret=interpret,
+            )
+
+        fn = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P()),
+            out_specs=P(RAY_AXIS),
+        ))
+        out = fn(scene, pixel_ids, seed_words(seed))
+    else:
+        fn = jax.jit(
+            lambda scene, ids, key: pixel_radiance(scene, ids, width,
+                                                   height, key),
+            in_shardings=(None, sharding, None),
+            out_shardings=sharding,
+        )
+        out = fn(scene, pixel_ids, rng.base_key(seed))
     out = np.asarray(out)[:n_pixels]
     return out.reshape(height, width, 3)
 
