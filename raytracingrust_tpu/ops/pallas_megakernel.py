@@ -21,9 +21,19 @@ keeps a block of 2048 rays RESIDENT IN VMEM for the entire bounce chain
     VALUES (albedo/fuzz/ir/emission, camera, background) stay runtime inputs
     — inverse-rendering forward passes never recompile.
 
+Triangle meshes run in the same kernel as MXU matmuls: Moller-Trumbore is
+bilinear in per-ray features (d, o x d, o, 1) and per-triangle constants, so
+a (4*TB, 16) x (16, 256) matmul per chunk per sublane row intersects 256
+rays against TB triangles at once, with the winning triangle's shading
+constants fetched by a one-hot matmul (reference triangle semantics:
+lib/core/mesh.rs:146-197 Moller-Trumbore, flat face normals per quirk Q6).
+
 Scope (static ``supports`` gate; everything else falls back to XLA):
-spheres only, no volumes/mixes/isotropic, uniform or gradient background,
-Full/Clay mode.  Forward only — gradients use the XLA path.
+spheres (unrolled, <=128) + triangles (matmul chunks, <=MAX_TRIS), no
+volumes/mixes/isotropic, uniform or gradient background, Full/Clay mode.
+Differentiable end-to-end: the backward pass is a second Pallas kernel that
+replays the unrolled chain in VMEM and accumulates parameter cotangents
+(fparams + triangle C/S matrices).
 """
 
 from __future__ import annotations
@@ -57,12 +67,19 @@ _SPHERE_STRIDE = 12  # em_r em_g em_b
 
 MAX_UNROLLED_SPHERES = 128  # covers scenes/simple.json (102 spheres)
 
+# Triangle path: Moller-Trumbore as MXU matmuls against VMEM-resident
+# per-triangle constant matrices (see _pack_tri).  TRI_BLOCK triangles per
+# matmul chunk; MAX_TRIS bounds VMEM (constants: 16 * 5 * MAX_TRIS * 4 B).
+TRI_BLOCK = 512
+MAX_TRIS = 8192  # covers every shipped OBJ except cool_cube (~28k tris)
+
 
 def supports(scene: Scene) -> bool:
     """Static capability check for this kernel."""
     return (
-        len(scene.triangles) == 0
-        and 0 < len(scene.spheres) <= MAX_UNROLLED_SPHERES
+        len(scene.triangles) <= MAX_TRIS
+        and 0 < (len(scene.spheres) + len(scene.triangles))
+        and len(scene.spheres) <= MAX_UNROLLED_SPHERES
         and scene.spheres.num_volumes == 0
         and not scene.materials.has_mix
         and M.ISOTROPIC not in scene.materials.kinds_present
@@ -99,8 +116,183 @@ def _dot3(ax, ay, az, bx, by, bz):
     return ax * bx + ay * by + az * bz
 
 
+# ------------------------------------------------- triangles (MXU matmuls)
+#
+# Moller-Trumbore is bilinear in the per-ray features (d, w = o x d, o, 1)
+# and per-triangle constants, so one (4*TB, 16) x (16, 256) matmul per
+# triangle chunk per sublane row yields a / num_u / num_v / num_t for 256
+# rays at once (the same formulation as ops/intersect.py:triangle_ts, moved
+# inside the kernel so the wavefront never leaves VMEM).  Shading constants
+# of the winning triangle come from a one-hot matmul (no gathers — small
+# gathers lower to scalar loops on TPU, docs/performance.md).
+
+TRI_DET_EPS = 1e-8  # ops/intersect.py:TRI_DET_EPS (fixes reference Q5)
+
+# S-matrix row layout (shading constants per triangle)
+_TS_NRM = 0    # rows 0-2: flat face normal (reference Q6 semantics)
+_TS_AL = 3     # rows 3-5: albedo
+_TS_FUZZ = 6
+_TS_IR = 7
+_TS_EM = 8     # rows 8-10: emission (premultiplied color*strength)
+_TS_LAM = 11   # rows 11-14: material-kind one-hot
+_TS_MET = 12
+_TS_DIE = 13
+_TS_EMI = 14
+
+
+def _tri_sizes(n_tris: int) -> tuple[int, int]:
+    """-> (tb, t_pad): chunk width and padded triangle count."""
+    tb = min(TRI_BLOCK, -(-n_tris // 128) * 128)
+    t_pad = -(-n_tris // tb) * tb
+    return tb, t_pad
+
+
+def _pack_tri(scene: Scene, tb: int):
+    """Scene triangles -> (C, S) constant matrices (traced jnp; building
+    them from the scene pytree keeps material/geometry grads flowing).
+
+    C: (16, 4*T_pad) f32.  Lane group c*4TB..(c+1)*4TB holds chunk c's
+    [a | num_u | num_v | num_t] coefficient sections (TB lanes each), rows
+    indexed by the ray feature vector [d, w, o, 1, 0...].  Padding triangles
+    are all-zero -> a == 0 -> rejected by the determinant epsilon.
+    S: (16, T_pad) f32 shading constants (_TS_* row layout).
+    """
+    tris = scene.triangles
+    t = tris.v0.shape[0]
+    t_pad = -(-t // tb) * tb
+    f32 = jnp.float32
+
+    n = jnp.cross(tris.e1, tris.e2)                 # (T, 3) unnormalized
+    v0xe2 = jnp.cross(tris.v0, tris.e2)
+    v0xe1 = jnp.cross(tris.v0, tris.e1)
+    v0n = jnp.sum(tris.v0 * n, axis=-1)
+    zeros = jnp.zeros((t,), f32)
+
+    def rows16(*cols):
+        cols = list(cols) + [zeros] * (16 - len(cols))
+        return jnp.stack(cols, axis=0).astype(f32)  # (16, T)
+
+    ca = rows16(-n[:, 0], -n[:, 1], -n[:, 2])
+    cu = rows16(v0xe2[:, 0], v0xe2[:, 1], v0xe2[:, 2],
+                tris.e2[:, 0], tris.e2[:, 1], tris.e2[:, 2])
+    cv = rows16(-v0xe1[:, 0], -v0xe1[:, 1], -v0xe1[:, 2],
+                -tris.e1[:, 0], -tris.e1[:, 1], -tris.e1[:, 2])
+    ct = rows16(zeros, zeros, zeros, zeros, zeros, zeros,
+                n[:, 0], n[:, 1], n[:, 2], -v0n)
+
+    pad = t_pad - t
+    if pad:
+        ca, cu, cv, ct = (jnp.pad(m, ((0, 0), (0, pad)))
+                          for m in (ca, cu, cv, ct))
+    parts = []
+    for c in range(t_pad // tb):
+        sl = slice(c * tb, (c + 1) * tb)
+        parts += [ca[:, sl], cu[:, sl], cv[:, sl], ct[:, sl]]
+    c_mat = jnp.concatenate(parts, axis=1)          # (16, 4*T_pad)
+
+    mats = scene.materials
+    mid = tris.material
+    al = mats.albedo[mid]
+    fz = mats.fuzz[mid]
+    ir = mats.ir[mid]
+    em = mats.emission[mid]
+    kind = mats.kind[mid]
+    s_mat = rows16(
+        tris.normal[:, 0], tris.normal[:, 1], tris.normal[:, 2],
+        al[:, 0], al[:, 1], al[:, 2], fz, ir,
+        em[:, 0], em[:, 1], em[:, 2],
+        (kind == M.LAMBERTIAN).astype(f32),
+        (kind == M.METAL).astype(f32),
+        (kind == M.DIELECTRIC).astype(f32),
+        (kind == M.EMISSION).astype(f32),
+    )
+    if pad:
+        s_mat = jnp.pad(s_mat, ((0, 0), (0, pad)))
+    return c_mat, s_mat
+
+
+def _tri_kinds(scene: Scene) -> tuple:
+    """Static sorted tuple of material-kind ids used by triangles."""
+    kinds = np.asarray(scene.materials.kind)
+    mat = np.asarray(scene.triangles.material)
+    return tuple(sorted({int(kinds[m]) for m in mat}))
+
+
+def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
+    """Closest triangle hit for the whole (8, 256) ray block.
+
+    -> (t_tri (8,256), params: list of 15 (8,256) arrays, _TS_* layout).
+    All matmuls run at HIGHEST precision — bf16 passes lose hits to
+    catastrophic cancellation in the determinant (utils/types.py note).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    t_pad = tri_c.shape[1] // 4
+    chunks = t_pad // tb
+    rows, cols = ox.shape
+
+    # ray moment w = o x d, shared by num_u / num_v
+    wx = oy * dz - oz * dy
+    wy = oz * dx - ox * dz
+    wz = ox * dy - oy * dx
+
+    ones = jnp.ones((1, cols), jnp.float32)
+    zeros6 = jnp.zeros((6, cols), jnp.float32)
+    t_rows, par_rows = [], []
+    for r in range(rows):
+        def row(v, r=r):
+            return v[r:r + 1, :]
+
+        x_feat = jnp.concatenate(
+            [row(dx), row(dy), row(dz), row(wx), row(wy), row(wz),
+             row(ox), row(oy), row(oz), ones, zeros6], axis=0)  # (16, 256)
+
+        t_best = jnp.full((1, cols), jnp.inf, jnp.float32)
+        par = jnp.zeros((16, cols), jnp.float32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, cols), 0)
+        for c in range(chunks):
+            c_chunk = tri_c[:, c * 4 * tb:(c + 1) * 4 * tb]  # (16, 4TB)
+            y = jax.lax.dot_general(
+                c_chunk, x_feat, (((0,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )                                                 # (4TB, 256)
+            a = y[0 * tb:1 * tb]
+            num_u = y[1 * tb:2 * tb]
+            num_v = y[2 * tb:3 * tb]
+            num_t = y[3 * tb:4 * tb]
+            ok = jnp.abs(a) > TRI_DET_EPS
+            f = 1.0 / jnp.where(ok, a, 1.0)  # safe: no inf primal under vjp
+            u = f * num_u
+            v = f * num_v
+            tt = f * num_t
+            valid = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (tt > T_MIN))
+            tt = jnp.where(valid, tt, jnp.inf)
+            t_min = jnp.min(tt, axis=0, keepdims=True)        # (1, 256)
+            improved = t_min < t_best
+            winner = jnp.min(jnp.where(tt == t_min, iota, tb),
+                             axis=0, keepdims=True)           # (1, 256)
+            onehot = jnp.where((iota == winner) & (tt == t_min), 1.0, 0.0)
+            s_chunk = tri_s[:, c * tb:(c + 1) * tb]           # (16, TB)
+            p_chunk = jax.lax.dot_general(
+                s_chunk, onehot, (((1,), (0,)), ((), ())),
+                precision=hi, preferred_element_type=jnp.float32,
+            )                                                 # (16, 256)
+            par = jnp.where(improved, p_chunk, par)
+            t_best = jnp.minimum(t_best, t_min)
+        t_rows.append(t_best)
+        par_rows.append(par)
+
+    t_tri = jnp.concatenate(t_rows, axis=0)                   # (8, 256)
+    params = [
+        jnp.concatenate([pr[j:j + 1] for pr in par_rows], axis=0)
+        for j in range(15)
+    ]
+    return t_tri, params
+
+
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
-                   sphere_kinds, bg_kind, clay, unrolled):
+                   sphere_kinds, bg_kind, clay, unrolled,
+                   tri=None, tri_kinds=()):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -108,9 +300,11 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     ``jax.vjp`` of this very function yields the parameter cotangents).
     ``unrolled`` replaces the early-out while_loop with a static chain —
     required under vjp (reverse-mode cannot transpose while_loop).
+    ``tri``: None or (tri_c, tri_s, tb) — the VMEM triangle constant
+    matrices (_pack_tri) + static chunk width.
     Returns (rad_r, rad_g, rad_b).
     """
-    present = set(sphere_kinds)
+    present = set(sphere_kinds) | set(tri_kinds)
     lam = M.LAMBERTIAN in present
     met = M.METAL in present
     die = M.DIELECTRIC in present
@@ -181,7 +375,16 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 t_best = jnp.where(better, ti, t_best)
                 best = jnp.where(better, i, best)
 
-            hit = best >= 0
+            # ---- intersect: triangle chunks as MXU matmuls
+            if tri is not None:
+                tri_c, tri_s, tri_tb = tri
+                t_tri, tpar = _tri_intersect(tri_c, tri_s, tri_tb,
+                                             ox, oy, oz, dx, dy, dz)
+                tri_win = t_tri < t_best
+                t_best = jnp.where(tri_win, t_tri, t_best)
+                hit = (best >= 0) | (t_tri < jnp.inf)
+            else:
+                hit = best >= 0
 
             # background on miss
             bg_r, bg_g, bg_b = background(dx, dy, dz)
@@ -221,13 +424,42 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 elif k == M.EMISSION:
                     is_emi = is_emi | sel
 
-            # hit point + front-face-flipped outward normal
-            ptx = ox + t_best * dx
-            pty = oy + t_best * dy
-            ptz = oz + t_best * dz
+            # hit point + front-face-flipped outward normal (safe t on miss
+            # lanes: an inf primal in a masked branch still poisons the vjp)
+            safe_t = jnp.where(hit, t_best, 1.0)
+            ptx = ox + safe_t * dx
+            pty = oy + safe_t * dy
+            ptz = oz + safe_t * dz
             nx = (ptx - scx) * inv_r
             ny = (pty - scy) * inv_r
             nz = (ptz - scz) * inv_r
+
+            # merge the winning triangle's shading constants (flat normal +
+            # material values + kind one-hot rows of the S matrix)
+            if tri is not None:
+                def m(cur, row):
+                    return jnp.where(tri_win, tpar[row], cur)
+                nx = m(nx, _TS_NRM + 0)
+                ny = m(ny, _TS_NRM + 1)
+                nz = m(nz, _TS_NRM + 2)
+                al_r = m(al_r, _TS_AL + 0)
+                al_g = m(al_g, _TS_AL + 1)
+                al_b = m(al_b, _TS_AL + 2)
+                fuzz = m(fuzz, _TS_FUZZ)
+                ir = m(ir, _TS_IR)
+                em_r = m(em_r, _TS_EM + 0)
+                em_g = m(em_g, _TS_EM + 1)
+                em_b = m(em_b, _TS_EM + 2)
+                t_lam = tpar[_TS_LAM] > 0.5
+                t_met = tpar[_TS_MET] > 0.5
+                t_die = tpar[_TS_DIE] > 0.5
+                t_emi = tpar[_TS_EMI] > 0.5
+                # Mosaic cannot select on i1 vectors; boolean algebra
+                is_lam = (tri_win & t_lam) | (~tri_win & is_lam)
+                is_met = (tri_win & t_met) | (~tri_win & is_met)
+                is_die = (tri_win & t_die) | (~tri_win & is_die)
+                is_emi = (tri_win & t_emi) | (~tri_win & is_emi)
+
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
@@ -369,12 +601,20 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         return state[10], state[11], state[12]
 
 
-def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
+def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
+                 tri_kinds=(), tri_tb=0):
     """Forward kernel: sphere_kinds is a static tuple of material-kind ids,
-    one per sphere; fparams rides scalar-prefetch SMEM."""
+    one per sphere; fparams rides scalar-prefetch SMEM; triangle constant
+    matrices (when the scene has triangles) ride VMEM."""
 
-    def kernel(iparams, fparams, ray_id_ref, px_ref, py_ref,
-               out_r, out_g, out_b):
+    def kernel(iparams, fparams, *refs):
+        if tri_tb:
+            tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref, \
+                out_r, out_g, out_b = refs
+            tri = (tri_c_ref[...], tri_s_ref[...], tri_tb)
+        else:
+            ray_id_ref, px_ref, py_ref, out_r, out_g, out_b = refs
+            tri = None
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
         ray_id = ray_id_ref[...]
@@ -386,7 +626,7 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=n_spheres, max_depth=max_depth,
             sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-            unrolled=False,
+            unrolled=False, tri=tri, tri_kinds=tri_kinds,
         )
         out_r[...] = rad_r
         out_g[...] = rad_g
@@ -396,7 +636,7 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay):
 
 
 def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
-                      k_params):
+                      k_params, tri_kinds=(), tri_tb=0):
     """Fused forward-replay + backward kernel.
 
     ``jax.vjp`` over :func:`_radiance_math` traces reverse-mode AD INTO the
@@ -404,11 +644,18 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     the whole fwd+bwd of a ray block — the whole point; the XLA grad path
     round-trips every residual through HBM.  Parameter cotangents accumulate
     across grid steps into one (1, K) block (TPU grid steps run sequentially
-    on the core, so += is race-free).
+    on the core, so += is race-free).  With triangles, the C/S constant
+    matrices are extra diff inputs: their cotangents flow back through
+    _pack_tri into material/geometry pytree leaves.
     """
 
-    def kernel(iparams, fp_ref, ray_id_ref, px_ref, py_ref,
-               g_r_ref, g_g_ref, g_b_ref, dfp_ref):
+    def kernel(iparams, *refs):
+        if tri_tb:
+            fp_ref, tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref, \
+                g_r_ref, g_g_ref, g_b_ref, dfp_ref, dc_ref, ds_ref = refs
+        else:
+            fp_ref, ray_id_ref, px_ref, py_ref, \
+                g_r_ref, g_g_ref, g_b_ref, dfp_ref = refs
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
         ray_id = ray_id_ref[...]
@@ -417,23 +664,44 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
         px = px_ref[...]
         py = py_ref[...]
+        cts = (g_r_ref[...], g_g_ref[...], g_b_ref[...])
 
-        def block_radiance(fp_row):
-            return _radiance_math(
-                lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
-                n_spheres=n_spheres, max_depth=max_depth,
-                sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-                unrolled=True,
-            )
+        if tri_tb:
+            def block_radiance(fp_row, c_arr, s_arr):
+                return _radiance_math(
+                    lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
+                    n_spheres=n_spheres, max_depth=max_depth,
+                    sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+                    unrolled=True, tri=(c_arr, s_arr, tri_tb),
+                    tri_kinds=tri_kinds,
+                )
 
-        _, vjp_fn = jax.vjp(block_radiance, fp_ref[...])
-        (dfp,) = vjp_fn((g_r_ref[...], g_g_ref[...], g_b_ref[...]))
+            _, vjp_fn = jax.vjp(block_radiance, fp_ref[...], tri_c_ref[...],
+                                tri_s_ref[...])
+            dfp, dc, ds = vjp_fn(cts)
+        else:
+            def block_radiance(fp_row):
+                return _radiance_math(
+                    lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
+                    n_spheres=n_spheres, max_depth=max_depth,
+                    sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+                    unrolled=True,
+                )
+
+            _, vjp_fn = jax.vjp(block_radiance, fp_ref[...])
+            (dfp,) = vjp_fn(cts)
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
             dfp_ref[...] = jnp.zeros_like(dfp_ref)
+            if tri_tb:
+                dc_ref[...] = jnp.zeros_like(dc_ref)
+                ds_ref[...] = jnp.zeros_like(ds_ref)
 
         dfp_ref[...] += dfp
+        if tri_tb:
+            dc_ref[...] += dc
+            ds_ref[...] += ds
 
     return kernel
 
@@ -442,13 +710,15 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
 @functools.lru_cache(maxsize=64)
 def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
-                   rows, interpret):
+                   rows, interpret, n_tris=0, tri_tb=0, tri_kinds=()):
     """custom_vjp-wrapped block radiance for one static configuration.
 
     Primal: the early-out forward kernel.  Backward: the fused
     forward-replay + vjp kernel (_make_grad_kernel) — the entire
     differentiable step never spills the wavefront to HBM.  Cached per
     static config so jit re-traces reuse the same custom_vjp instance.
+    With triangles (n_tris > 0) the signature gains the (tri_c, tri_s)
+    VMEM constant matrices as differentiable operands.
     """
     shape2d = (rows, BLOCK_COLS)
     grid = rows // BLOCK_ROWS
@@ -458,63 +728,99 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     )
     out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
 
+    t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
+    if n_tris:
+        tri_c_block = pl.BlockSpec((16, 4 * t_pad), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        tri_s_block = pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
+                                   memory_space=pltpu.VMEM)
+        tri_in_specs = [tri_c_block, tri_s_block]
+    else:
+        tri_in_specs = []
+
     fwd_kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind,
-                              clay)
+                              clay, tri_kinds, tri_tb)
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
-        in_specs=[block, block, block],
+        in_specs=tri_in_specs + [block, block, block],
         out_specs=[block, block, block],
     )
 
-    def run_forward(iparams, fparams, ray_ids, px, py):
+    def run_forward(iparams, fparams, tri_ops, ray_ids, px, py):
         return pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
             out_shape=[out, out, out],
             interpret=interpret,
-        )(iparams, fparams, ray_ids, px, py)
+        )(iparams, fparams, *tri_ops, ray_ids, px, py)
 
     k = int(_SPHERES + n_spheres * _SPHERE_STRIDE)
     k_pad = -(-k // 128) * 128
     grad_kernel = _make_grad_kernel(n_spheres, max_depth, sphere_kinds,
-                                    bg_kind, clay, k_pad)
+                                    bg_kind, clay, k_pad, tri_kinds, tri_tb)
     param_block = pl.BlockSpec((1, k_pad), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM)
     grad_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(grid,),
-        in_specs=[param_block, block, block, block, block, block, block],
-        out_specs=[param_block],
+        in_specs=[param_block] + tri_in_specs
+        + [block, block, block, block, block, block],
+        out_specs=[param_block] + tri_in_specs,
     )
 
-    def run_grad(iparams, fparams, ray_ids, px, py, g_r, g_g, g_b):
+    def run_grad(iparams, fparams, tri_ops, ray_ids, px, py, g_r, g_g, g_b):
         fp_row = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(fparams)
-        (dfp,) = pl.pallas_call(
+        grad_out = [jax.ShapeDtypeStruct((1, k_pad), jnp.float32)]
+        if n_tris:
+            grad_out += [jax.ShapeDtypeStruct((16, 4 * t_pad), jnp.float32),
+                         jax.ShapeDtypeStruct((16, t_pad), jnp.float32)]
+        res = pl.pallas_call(
             grad_kernel,
             grid_spec=grad_grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((1, k_pad), jnp.float32)],
+            out_shape=grad_out,
             interpret=interpret,
-        )(iparams, fp_row, ray_ids, px, py, g_r, g_g, g_b)
-        return dfp[0, :k]
+        )(iparams, fp_row, *tri_ops, ray_ids, px, py, g_r, g_g, g_b)
+        dfp = res[0][0, :k]
+        return (dfp, *res[1:])
 
-    @jax.custom_vjp
-    def radiance(fparams, iparams, ray_ids, px, py):
-        return run_forward(iparams, fparams, ray_ids, px, py)
+    f0 = jax.dtypes.float0
 
-    def radiance_fwd(fparams, iparams, ray_ids, px, py):
-        primal = run_forward(iparams, fparams, ray_ids, px, py)
-        return primal, (fparams, iparams, ray_ids, px, py)
+    if n_tris:
+        @jax.custom_vjp
+        def radiance(fparams, tri_c, tri_s, iparams, ray_ids, px, py):
+            return run_forward(iparams, fparams, (tri_c, tri_s),
+                               ray_ids, px, py)
 
-    def radiance_bwd(res, cts):
-        fparams, iparams, ray_ids, px, py = res
-        g_r, g_g, g_b = cts
-        dfp = run_grad(iparams, fparams, ray_ids, px, py, g_r, g_g, g_b)
-        f0 = jax.dtypes.float0
-        return (dfp,
-                np.zeros(iparams.shape, f0),
-                np.zeros(ray_ids.shape, f0),
-                jnp.zeros_like(px), jnp.zeros_like(py))
+        def radiance_fwd(fparams, tri_c, tri_s, iparams, ray_ids, px, py):
+            primal = run_forward(iparams, fparams, (tri_c, tri_s),
+                                 ray_ids, px, py)
+            return primal, (fparams, tri_c, tri_s, iparams, ray_ids, px, py)
+
+        def radiance_bwd(res, cts):
+            fparams, tri_c, tri_s, iparams, ray_ids, px, py = res
+            dfp, dc, ds = run_grad(iparams, fparams, (tri_c, tri_s),
+                                   ray_ids, px, py, *cts)
+            return (dfp, dc, ds,
+                    np.zeros(iparams.shape, f0),
+                    np.zeros(ray_ids.shape, f0),
+                    jnp.zeros_like(px), jnp.zeros_like(py))
+    else:
+        @jax.custom_vjp
+        def radiance(fparams, iparams, ray_ids, px, py):
+            return run_forward(iparams, fparams, (), ray_ids, px, py)
+
+        def radiance_fwd(fparams, iparams, ray_ids, px, py):
+            primal = run_forward(iparams, fparams, (), ray_ids, px, py)
+            return primal, (fparams, iparams, ray_ids, px, py)
+
+        def radiance_bwd(res, cts):
+            fparams, iparams, ray_ids, px, py = res
+            dfp, = run_grad(iparams, fparams, (), ray_ids, px, py, *cts)
+            return (dfp,
+                    np.zeros(iparams.shape, f0),
+                    np.zeros(ray_ids.shape, f0),
+                    jnp.zeros_like(px), jnp.zeros_like(py))
 
     radiance.defvjp(radiance_fwd, radiance_bwd)
     return radiance
@@ -563,17 +869,21 @@ def seed_words(seed: int):
 
 def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
                           iparams, *, sphere_kinds: tuple | None = None,
+                          tri_kinds: tuple | None = None,
                           interpret: bool = False):
     """Mean clamped radiance per pixel -> (P, 3), via the megakernel.
 
     Drop-in twin of render.pixel_radiance for supported scenes.  ``iparams``
     is seed_words(seed) — an array, so re-seeding never recompiles.
     ``sphere_kinds`` (static tuple of per-sphere material-kind ids, from
-    :func:`_sphere_kinds`) must be supplied when the scene is traced.
+    :func:`_sphere_kinds`) and ``tri_kinds`` (static tuple of kinds present
+    among triangle materials) must be supplied when the scene is traced.
     ``interpret`` runs the kernel in the Pallas interpreter (CPU tests).
     """
     if sphere_kinds is None:
         sphere_kinds = _sphere_kinds(scene)
+    if tri_kinds is None:
+        tri_kinds = _tri_kinds(scene)
     spp = scene.settings.samples_per_pixel
     p = pixel_ids.shape[0]
     n_rays = p * spp
@@ -601,8 +911,10 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
     fparams = _pack_fparams(scene, width, height)
 
     # Differentiable: gradients w.r.t. scene parameters flow through
-    # _pack_fparams (plain jnp) into the custom_vjp, whose backward is the
-    # fused Pallas forward-replay+vjp kernel.
+    # _pack_fparams / _pack_tri (plain jnp) into the custom_vjp, whose
+    # backward is the fused Pallas forward-replay+vjp kernel.
+    n_tris = len(scene.triangles)
+    tri_tb = _tri_sizes(n_tris)[0] if n_tris else 0
     radiance_fn = _radiance_cvjp(
         len(scene.spheres),
         scene.settings.max_ray_depth,
@@ -611,8 +923,16 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
         scene.settings.mode == MODE_CLAY,
         rows,
         interpret,
+        n_tris=n_tris,
+        tri_tb=tri_tb,
+        tri_kinds=tri_kinds if n_tris else (),
     )
-    rad_r, rad_g, rad_b = radiance_fn(fparams, iparams, ray_ids, px, py)
+    if n_tris:
+        tri_c, tri_s = _pack_tri(scene, tri_tb)
+        rad_r, rad_g, rad_b = radiance_fn(fparams, tri_c, tri_s, iparams,
+                                          ray_ids, px, py)
+    else:
+        rad_r, rad_g, rad_b = radiance_fn(fparams, iparams, ray_ids, px, py)
 
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

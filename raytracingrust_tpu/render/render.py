@@ -102,14 +102,16 @@ def _render_tiled(scene: Scene, width: int, height: int, tile_pixels: int,
 
 
 @partial(jax.jit,
-         static_argnames=("width", "height", "sphere_kinds", "interpret"))
+         static_argnames=("width", "height", "sphere_kinds", "tri_kinds",
+                          "interpret"))
 def _render_pallas(scene: Scene, width: int, height: int, iparams,
-                   sphere_kinds: tuple, interpret: bool):
+                   sphere_kinds: tuple, tri_kinds: tuple, interpret: bool):
     from ..ops.pallas_megakernel import pixel_radiance_pallas
 
     pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
     mean = pixel_radiance_pallas(scene, pixel_ids, width, height, iparams,
                                  sphere_kinds=sphere_kinds,
+                                 tri_kinds=tri_kinds,
                                  interpret=interpret)
     return mean.reshape(height, width, 3)
 
@@ -137,11 +139,13 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
     RNG streams; images agree to f32 arithmetic-order noise.
     """
     if use_pallas(scene, engine):
-        from ..ops.pallas_megakernel import _sphere_kinds, seed_words
+        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
+                                             seed_words)
 
         interpret = jax.devices()[0].platform == "cpu"
         return _render_pallas(scene, width, height, seed_words(seed),
-                              _sphere_kinds(scene), interpret)
+                              _sphere_kinds(scene), _tri_kinds(scene),
+                              interpret)
     spp = scene.settings.samples_per_pixel
     if tile_rays is None:
         tile_rays = default_tile_rays(scene)

@@ -227,3 +227,112 @@ def test_pallas_value_and_grad_consistent():
     v_plain = loss(params)
     v_vjp, _ = jax.value_and_grad(loss)(params)
     np.testing.assert_allclose(float(v_plain), float(v_vjp), rtol=1e-6)
+
+
+# ------------------------------------------------------------ triangle path
+
+def _tri_builder(with_spheres=True, depth=3, spp=1):
+    """Tetrahedron + single metal triangle (+ emissive sphere) scene for the
+    megakernel's MXU triangle path (Moller-Trumbore as in-kernel matmuls)."""
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0.6, 2.0), (0, 0.2, 0), (0, 1, 0), 60.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=spp, max_ray_depth=depth,
+                                enable_bvh_tree=False)
+    ml = b.add_material(Lambertian((0.7, 0.4, 0.2)))
+    mm = b.add_material(Metal((0.9, 0.9, 0.95), 0.05))
+    verts = np.array([[0, 0, 0], [0.6, 0, 0.1], [0.3, 0, -0.5],
+                      [0.3, 0.7, -0.1]], np.float32)
+    faces = np.array([[0, 1, 3], [1, 2, 3], [2, 0, 3], [0, 2, 1]], np.int32)
+    b.add_mesh(Mesh.from_buffers(verts, verts, faces, ml))
+    tv = np.array([[-1.0, 0, -0.5], [-0.2, 0, -0.6], [-0.6, 0.8, -0.55]],
+                  np.float32)
+    b.add_mesh(Mesh.from_buffers(tv, tv, np.array([[0, 1, 2]], np.int32), mm))
+    fl = np.array([[-20, 0, -20], [20, 0, -20], [0, 0, 20]], np.float32)
+    b.add_mesh(Mesh.from_buffers(fl, fl, np.array([[0, 1, 2]], np.int32), ml))
+    if with_spheres:
+        me = b.add_material(Emission((2.0, 1.8, 1.5)))
+        b.add_sphere((1.2, 1.5, 0.5), 0.5, me)
+    return b
+
+
+def test_pallas_triangles_bit_identical():
+    """Pure-triangle scene: the MXU matmul intersector must agree with the
+    XLA triangle_ts path bit-for-bit (identical uniforms, same HIGHEST-
+    precision dot products)."""
+    scene = _tri_builder(with_spheres=False).build(with_bvh=False)
+    assert PK.supports(scene)
+    xla = np.asarray(render_linear(scene, 32, 32, seed=0, engine="xla"))
+    pal = np.asarray(render_linear(scene, 32, 32, seed=0, engine="pallas"))
+    neq = (xla != pal).any(-1)
+    assert neq.mean() <= 2 / 1024, f"{neq.sum()} pixels differ"
+
+
+def test_pallas_triangles_with_spheres():
+    """Mixed sphere+triangle scene: per-sample borderline flips only."""
+    scene = _tri_builder(with_spheres=True, depth=4, spp=2).build(
+        with_bvh=False)
+    assert PK.supports(scene)
+    xla = np.asarray(render_linear(scene, 16, 12, seed=0, engine="xla"))
+    pal = np.asarray(render_linear(scene, 16, 12, seed=0, engine="pallas"))
+    mismatched = (~np.isclose(xla, pal, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
+    assert np.abs(xla - pal).mean() < 4e-2
+
+
+def test_pallas_triangle_grad_matches_xla():
+    """Material gradients THROUGH the triangle one-hot shading matmul (the
+    S-matrix cotangent path) must match the XLA engine."""
+    import dataclasses
+
+    scene = _tri_builder(with_spheres=True).build(with_bvh=False)
+
+    def make_loss(engine):
+        def loss(albedo):
+            mats = dataclasses.replace(
+                scene.materials,
+                albedo=scene.materials.albedo.at[0].set(albedo))
+            s2 = dataclasses.replace(scene, materials=mats)
+            img = render_linear(s2, 12, 12, seed=0, engine=engine)
+            return jnp.sum(img ** 2)
+        return loss
+
+    a0 = jnp.array([0.7, 0.4, 0.2], jnp.float32)
+    gx = jax.grad(make_loss("xla"))(a0)
+    gp = jax.grad(make_loss("pallas"))(a0)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=2e-3, atol=1e-5)
+
+
+def test_pallas_triangle_chunking():
+    """A mesh spanning multiple TRI_BLOCK chunks exercises the chunk loop's
+    running-min/one-hot merge.  Build a 600-triangle fan (2 chunks at
+    TRI_BLOCK=512) and check against XLA."""
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    n = 600
+    ang = np.linspace(0, 2 * np.pi, n + 1)
+    hub = np.array([[0.0, 0.3, -1.0]], np.float32)
+    rim = np.stack([0.8 * np.cos(ang), 0.3 + 0.0 * ang,
+                    -1.0 + 0.8 * np.sin(ang)], -1).astype(np.float32)
+    verts = np.concatenate([hub, rim], 0)
+    faces = np.stack([np.zeros(n, np.int32), np.arange(1, n + 1,
+                                                       dtype=np.int32),
+                      np.arange(2, n + 2, dtype=np.int32)], -1)
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 1.5, 1.5), (0, 0.2, -1.0), (0, 1, 0),
+                             60.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=1, max_ray_depth=2,
+                                enable_bvh_tree=False)
+    ml = b.add_material(Lambertian((0.6, 0.6, 0.2)))
+    b.add_mesh(Mesh.from_buffers(verts, verts, faces, ml))
+    scene = b.build(with_bvh=False)
+    # force multi-chunk: tb = 128 -> t_pad 384 = 3 chunks
+    from raytracingrust_tpu.ops.pallas_megakernel import _tri_sizes
+    assert _tri_sizes(len(scene.triangles))[1] // \
+        _tri_sizes(len(scene.triangles))[0] >= 2
+    xla = np.asarray(render_linear(scene, 24, 24, seed=0, engine="xla"))
+    pal = np.asarray(render_linear(scene, 24, 24, seed=0, engine="pallas"))
+    neq = (xla != pal).any(-1)
+    assert neq.mean() <= 4 / (24 * 24), f"{neq.sum()} pixels differ"
