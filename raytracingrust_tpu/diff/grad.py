@@ -65,25 +65,33 @@ def apply_params(scene: Scene, params: dict) -> Scene:
 
 
 def make_loss(scene: Scene, target, width: int, height: int, *,
-              seed: int = 0, tile_rays: int = 1 << 16):
-    """-> loss(params) = mean squared error against ``target`` (H, W, 3)
-    linear radiance.  Differentiable in every PARAM_PATHS leaf present in
-    ``params``."""
+              seed: int = 0, tile_rays: int = 1 << 16,
+              engine: str = "auto"):
+    """-> loss(params, key=None) = mean squared error against ``target``
+    (H, W, 3) linear radiance.  Differentiable in every PARAM_PATHS leaf
+    present in ``params``.
+
+    ``engine="auto"`` routes through the Pallas megakernel when the scene
+    qualifies and a TPU is present — its custom_vjp backward is the fused
+    forward-replay+vjp kernel, so the product fit path runs at the same
+    speed as bench.py's fwd+bwd headline.  ``key`` (optional (2,) threefry
+    key words) overrides ``seed`` and may be traced: the fit loop reseeds
+    per step without recompiling.
+    """
     target = jnp.asarray(target)
 
-    def loss(params: dict):
+    def loss(params: dict, key=None):
         s = apply_params(scene, params)
-        # engine="xla": the Pallas megakernel is forward-only (no AD rule)
-        img = render_linear(s, width, height, seed=seed,
-                            tile_rays=tile_rays, engine="xla")
+        img = render_linear(s, width, height, seed=seed, key=key,
+                            tile_rays=tile_rays, engine=engine)
         return jnp.mean((img - target) ** 2)
 
     return loss
 
 
 def render_and_grad(scene: Scene, target, names, width: int, height: int,
-                    *, seed: int = 0):
+                    *, seed: int = 0, engine: str = "auto"):
     """Convenience: (loss value, grads dict) for the selected params."""
-    loss = make_loss(scene, target, width, height, seed=seed)
+    loss = make_loss(scene, target, width, height, seed=seed, engine=engine)
     params = extract_params(scene, names)
     return jax.value_and_grad(loss)(params)

@@ -30,6 +30,7 @@ def fit(
     learning_rate: float = 5e-2,
     seed: int = 0,
     resample_every: int = 1,
+    engine: str = "auto",
     callback: Callable | None = None,
     constraints: dict | None = None,
     checkpoint_path: str | None = None,
@@ -39,11 +40,21 @@ def fit(
 
     Returns (optimized scene, final params, loss history).
 
+    ``resample_every``: draw a fresh RNG seed for the loss every k steps
+    (seed index = seed + step // k).  Fresh seeds make the optimization a
+    true stochastic gradient over path realizations instead of descending a
+    single fixed-seed image; the key is a traced input to the jitted step,
+    so reseeding never recompiles.  Pass 0 to pin the seed for all steps.
+    ``engine``: render engine for the loss ("auto" uses the Pallas
+    megakernel with its fused fwd+bwd custom_vjp on TPU when the scene
+    qualifies).
     ``constraints``: optional {name: (lo, hi)} clamps applied after each step
     (e.g. albedo in [0,1], fuzz >= 0).
     ``checkpoint_path``: when set, the optimizer state is periodically saved
     there and a matching existing checkpoint resumes the run mid-flight.
     """
+    from ..utils import rng
+
     names = list(names)
     params = extract_params(scene, names)
     tx = optax.adam(learning_rate)
@@ -58,18 +69,21 @@ def fit(
             opt_state = jax.tree.map(jnp.asarray, state["opt"])
             start_step = int(state["step"])
 
-    loss_fn = make_loss(scene, target, width, height, seed=seed)
+    loss_fn = make_loss(scene, target, width, height, seed=seed,
+                        engine=engine)
 
     @jax.jit
-    def step(params, opt_state):
-        value, grads = jax.value_and_grad(loss_fn)(params)
+    def step(params, opt_state, key):
+        value, grads = jax.value_and_grad(loss_fn)(params, key)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, value
 
     history = []
     for i in range(start_step, steps):
-        params, opt_state, value = step(params, opt_state)
+        seed_idx = seed + (i // resample_every if resample_every else 0)
+        params, opt_state, value = step(params, opt_state,
+                                        rng.base_key(seed_idx))
         if constraints:
             for name, (lo, hi) in constraints.items():
                 if name in params:

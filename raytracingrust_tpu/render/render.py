@@ -127,7 +127,7 @@ def use_pallas(scene: Scene, engine: str) -> bool:
 
 
 def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
-                  tile_rays: int | None = None,
+                  key=None, tile_rays: int | None = None,
                   engine: str = "auto") -> jnp.ndarray:
     """Full frame -> (H, W, 3) f32 MEAN radiance (clamped, pre-gamma).
 
@@ -137,13 +137,20 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
     ``engine``: "auto" (Pallas megakernel when the scene qualifies and a TPU
     is present, else XLA), "pallas", or "xla".  The engines consume identical
     RNG streams; images agree to f32 arithmetic-order noise.
+
+    ``key``: optional (2,) threefry key words (rng.base_key) overriding
+    ``seed``.  Because the key is an ARRAY input it may be traced — per-step
+    reseeding inside a jitted optimization loop never recompiles.
     """
+    if key is None:
+        key = rng.base_key(seed)
+    key = jnp.asarray(key)
     if use_pallas(scene, engine):
-        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
-                                             seed_words)
+        from ..ops.pallas_megakernel import _sphere_kinds, _tri_kinds
 
         interpret = jax.devices()[0].platform == "cpu"
-        return _render_pallas(scene, width, height, seed_words(seed),
+        return _render_pallas(scene, width, height,
+                              key.astype(jnp.int32),
                               _sphere_kinds(scene), _tri_kinds(scene),
                               interpret)
     spp = scene.settings.samples_per_pixel
@@ -152,7 +159,7 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
     tile_pixels = max(1, tile_rays // max(spp, 1))
     tile_pixels = min(tile_pixels, width * height)
     return _render_tiled(scene, width, height, tile_pixels,
-                         rng.base_key(seed))
+                         key.astype(jnp.uint32))
 
 
 def render(scene: Scene, width: int, height: int, *, seed: int = 0,

@@ -185,13 +185,26 @@ def test_grad_sphere_geometry():
 
 def test_inverse_rendering_recovers_albedo():
     """End-to-end: perturb an albedo, optimize it back (BASELINE.json
-    config #5, miniaturized)."""
+    config #5, miniaturized).
+
+    ``fit`` reseeds the loss every step (true SGD over path realizations),
+    so the loss converges to the Monte-Carlo NOISE FLOOR — the expected MSE
+    between a fresh-seed render at the TRUE params and the target — not to
+    zero.  The assertions are therefore (a) the final losses sit near that
+    measured floor and (b) the parameter itself is recovered."""
     from raytracingrust_tpu.diff.inverse import fit
     from raytracingrust_tpu.render.render import render_linear
 
-    scene = builder().build()
     w = h = 8
-    target = render_linear(scene, w, h, seed=0)
+    # near-converged target (spp 32) so the floor is dominated by the fit
+    # renders' own variance, not the target's
+    tb = builder()
+    tb.settings = RenderSettings(samples_per_pixel=32, max_ray_depth=4)
+    target = render_linear(tb.build(), w, h, seed=7)
+
+    fb = builder()
+    fb.settings = RenderSettings(samples_per_pixel=8, max_ray_depth=4)
+    scene = fb.build()
 
     wrong = apply_params(
         scene,
@@ -203,7 +216,14 @@ def test_inverse_rendering_recovers_albedo():
         wrong, target, ["albedo"], w, h, steps=60, learning_rate=5e-2,
         constraints={"albedo": (0.0, 1.0)},
     )
-    assert history[-1] < history[0] * 0.05
+    # MC noise floor: fresh-seed loss at the TRUE parameters
+    floor = float(jnp.mean(
+        (render_linear(scene, w, h, seed=999) - target) ** 2
+    ))
+    tail = float(np.mean(history[-5:]))
+    assert tail < max(3.0 * floor, 0.3 * history[0]), (
+        f"tail={tail:.5g} floor={floor:.5g} start={history[0]:.5g}"
+    )
     np.testing.assert_allclose(
         np.asarray(out.materials.albedo[0]), [0.6, 0.3, 0.2], atol=0.08
     )
