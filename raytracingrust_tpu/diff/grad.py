@@ -80,6 +80,14 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
     """
     target = jnp.asarray(target)
 
+    # Resolve "auto" HERE (scene is concrete): under jax.grad only the
+    # differentiable engines qualify — the packet-traversal BVH kernel is
+    # forward-only, so big scenes differentiate via the XLA path.
+    if engine == "auto":
+        from ..render.render import use_pallas
+
+        engine = "pallas" if use_pallas(scene, "auto") else "xla"
+
     def loss(params: dict, key=None):
         s = apply_params(scene, params)
         img = render_linear(s, width, height, seed=seed, key=key,

@@ -59,9 +59,15 @@ class RenderSettings:
     enable_multithreading: bool = True
     enable_bvh_tree: bool = True
     mode: str = MODE_FULL
+    # Beyond-reference capability (BASELINE config #4): importance-sample
+    # the HDRI environment (one-sample MIS against BSDF sampling) instead
+    # of relying on BSDF paths alone to find bright sky texels.  Off by
+    # default = exact reference semantics (SkyMap lookup only,
+    # lib/backgrounds.rs:84-93).
+    env_importance_sampling: bool = False
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "samples_per_pixel": self.samples_per_pixel,
             "max_ray_depth": self.max_ray_depth,
             "clamp_indirect": self.clamp_indirect,
@@ -69,6 +75,11 @@ class RenderSettings:
             "enable_bvh_tree": self.enable_bvh_tree,
             "mode": self.mode,
         }
+        # keep byte-parity with reference scene files unless the
+        # beyond-parity knob is actually on
+        if self.env_importance_sampling:
+            d["env_importance_sampling"] = True
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "RenderSettings":
@@ -79,6 +90,8 @@ class RenderSettings:
             enable_multithreading=bool(d.get("enable_multithreading", True)),
             enable_bvh_tree=bool(d.get("enable_bvh_tree", True)),
             mode=str(d.get("mode", MODE_FULL)),
+            env_importance_sampling=bool(
+                d.get("env_importance_sampling", False)),
         )
 
 
@@ -140,6 +153,37 @@ class FlatBVH:
 
 
 @pytree_dataclass
+class ChunkedBVH:
+    """Chunk-leaf skip-link BVHs for the Pallas packet-traversal kernel.
+
+    One tree per primitive kind (spheres / triangles).  Nodes ride the
+    kernel's scalar memory — flat [min xyz | max xyz] f32 and
+    [hit_link, miss_link, chunk] i32 per node (chunk = -1 for inner nodes,
+    else the leaf's chunk ordinal).  ``*_perm`` reorders primitives into
+    contiguous <=leaf_size chunks (-1 = in-chunk padding); the driver packs
+    the permuted primitives into per-chunk MXU constant matrices.
+    """
+
+    sph_nodes_f: jnp.ndarray  # (K_s * 6,) f32
+    sph_nodes_i: jnp.ndarray  # (K_s * 3,) i32
+    sph_perm: jnp.ndarray     # (n_sph_chunks * leaf_size,) i32
+    tri_nodes_f: jnp.ndarray  # (K_t * 6,) f32
+    tri_nodes_i: jnp.ndarray  # (K_t * 3,) i32
+    tri_perm: jnp.ndarray     # (n_tri_chunks * leaf_size,) i32
+    leaf_size: int = static_field(default=128)
+    sph_nodes: int = static_field(default=0)
+    tri_nodes: int = static_field(default=0)
+
+    @property
+    def n_sph_chunks(self) -> int:
+        return self.sph_perm.shape[0] // self.leaf_size
+
+    @property
+    def n_tri_chunks(self) -> int:
+        return self.tri_perm.shape[0] // self.leaf_size
+
+
+@pytree_dataclass
 class Scene:
     camera: Camera
     background: Background
@@ -147,6 +191,7 @@ class Scene:
     triangles: TriangleArray
     materials: MaterialTable
     bvh: Optional[FlatBVH]
+    cbvh: Optional[ChunkedBVH] = None
     settings: RenderSettings = static_field(default=RenderSettings())
 
     @property
@@ -250,10 +295,11 @@ class SceneBuilder:
 
         if with_bvh is None:
             with_bvh = self.settings.enable_bvh_tree
-        bvh = None
+        bvh = cbvh = None
         if with_bvh:
-            from ..ops.bvh import build_bvh
+            from ..ops.bvh import build_bvh, build_chunked_bvh
             bvh = build_bvh(spheres, triangles)
+            cbvh = build_chunked_bvh(spheres, triangles)
 
         return Scene(
             camera=self.camera,
@@ -262,6 +308,7 @@ class SceneBuilder:
             triangles=triangles,
             materials=build_table(self.materials),
             bvh=bvh,
+            cbvh=cbvh,
             settings=self.settings,
         )
 

@@ -128,6 +128,121 @@ def _build_topology(mins: np.ndarray, maxs: np.ndarray):
     )
 
 
+def _build_chunked_topology(mins: np.ndarray, maxs: np.ndarray,
+                            leaf_size: int):
+    """Median-split build with CHUNK leaves (<= leaf_size primitives).
+
+    The node granularity the Pallas megakernel traverses: a whole ray block
+    shares one node cursor (packet traversal — the TPU translation of the
+    reference's per-ray recursion, lib/core/bvh.rs:146-172), and each leaf
+    is a dense chunk of primitives intersected on the MXU.  Split policy is
+    the same centroid-spread median split as :func:`_build_topology`.
+
+    Returns (nodes_f (K, 6) f32 [min xyz | max xyz],
+             nodes_i (K, 3) i32 [hit_link, miss_link, chunk (-1 = inner)],
+             perm (n_chunks * leaf_size,) i64 primitive ids, -1 = padding).
+    """
+    n = mins.shape[0]
+    cent = aabb.centroid(mins, maxs)
+
+    nodes_f: list[np.ndarray] = []
+    hit: list[int] = []
+    miss: list[int] = []
+    chunk: list[int] = []
+    chunks: list[np.ndarray] = []
+
+    def split(ids):
+        c = cent[ids]
+        spread = c.max(axis=0) - c.min(axis=0)
+        sx, sy, sz = float(spread[0]), float(spread[1]), float(spread[2])
+        if sx > sy and sx > sz:
+            axis = 0
+        elif sy > sx and sy > sz:
+            axis = 1
+        else:
+            axis = 2
+        order = np.argsort(c[:, axis], kind="stable")
+        ids = ids[order]
+        half = ids.shape[0] // 2
+        return ids[:half], ids[half:]
+
+    def emit(ids: np.ndarray) -> None:
+        me = len(hit)
+        nodes_f.append(np.concatenate([mins[ids].min(axis=0),
+                                       maxs[ids].max(axis=0)]))
+        if ids.shape[0] <= leaf_size:
+            chunks.append(ids)
+            hit.append(me + 1)   # leaf: continue at the skip link either way
+            miss.append(me + 1)
+            chunk.append(len(chunks) - 1)
+            return
+        hit.append(me + 1)       # descend: first child is next in DFS order
+        miss.append(-1)
+        chunk.append(-1)
+        left, right = split(ids)
+        emit(left)
+        emit(right)
+        miss[me] = len(hit)      # skip: one past my whole subtree
+
+    emit(np.arange(n, dtype=np.int64))
+
+    perm = np.full((len(chunks), leaf_size), -1, np.int64)
+    for i, ids in enumerate(chunks):
+        perm[i, : ids.shape[0]] = ids
+    return (
+        np.stack(nodes_f).astype(np.float32),
+        np.stack([hit, miss, chunk], axis=1).astype(np.int32),
+        perm.reshape(-1),
+    )
+
+
+def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
+    """Build the per-kind chunk-leaf BVHs for the Pallas traversal kernel.
+
+    Spheres and triangles get SEPARATE trees (the kernel traverses the
+    sphere tree first, then the triangle tree seeded with the sphere pass's
+    best t) so leaf chunks are homogeneous — one MXU intersection form per
+    leaf, no per-leaf kind dispatch.  Returns None for an empty scene.
+    """
+    import jax.numpy as jnp
+
+    from ..models.scene import ChunkedBVH
+
+    smin, smax = primitive_bounds(spheres, triangles)
+    ns = len(spheres)
+    n_total = smin.shape[0]
+    if n_total == 0:
+        return None
+
+    def one(lo, hi, base):
+        if lo.shape[0] == 0:
+            return None
+        nf, ni, perm = _build_chunked_topology(lo, hi, leaf_size)
+        # perm ids are local to the kind (caller passes the kind's bounds)
+        return nf, ni, perm
+
+    sph = one(smin[:ns], smax[:ns], 0)
+    tri = one(smin[ns:], smax[ns:], ns)
+
+    empty_f = np.zeros((0, 6), np.float32)
+    empty_i = np.zeros((0, 3), np.int32)
+    empty_p = np.zeros((0,), np.int64)
+    s_nf, s_ni, s_perm = sph if sph else (empty_f, empty_i, empty_p)
+    t_nf, t_ni, t_perm = tri if tri else (empty_f, empty_i, empty_p)
+
+    return ChunkedBVH(
+        sph_nodes_f=jnp.asarray(s_nf.reshape(-1)),
+        sph_nodes_i=jnp.asarray(s_ni.reshape(-1)),
+        sph_perm=jnp.asarray(s_perm, jnp.int32),
+        tri_nodes_f=jnp.asarray(t_nf.reshape(-1)),
+        tri_nodes_i=jnp.asarray(t_ni.reshape(-1)),
+        tri_perm=jnp.asarray(t_perm, jnp.int32),
+        leaf_size=leaf_size,
+        sph_nodes=int(s_nf.shape[0]),
+        tri_nodes=int(t_nf.shape[0]),
+    )
+
+
 def build_bvh(spheres, triangles):
     """Build the scene-wide FlatBVH (None when the scene is empty)."""
     import jax.numpy as jnp

@@ -290,9 +290,361 @@ def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
     return t_tri, params
 
 
+# ------------------------------------------- chunk-leaf BVH (packet traversal)
+#
+# TPU translation of the reference's per-ray recursive BVH descent
+# (lib/core/bvh.rs:146-172) for scenes too big to brute-force in VMEM:
+# per-lane node cursors would need per-lane gathers (which lower to scalar
+# loops on TPU), so a whole (8, 256) ray block shares ONE scalar node cursor
+# (SMEM node table) — the packet traversal of classic CPU SIMD ray tracing,
+# which is exactly the right translation for a 1024-lane vector machine.
+# The block descends (hit_link) when ANY live ray hits the node AABB
+# (VPU slab test, per-ray t-pruned) and skips (miss_link) otherwise.
+# Leaves are dense chunks of <=128 primitives of ONE kind, intersected on
+# the MXU with the same bilinear forms as the brute-force paths above.
+# Spheres and triangles live in separate trees; the sphere pass's best t
+# seeds the triangle pass's pruning.  Forward-only (the differentiable
+# custom_vjp path keeps the brute-force kernels; bigger scenes differentiate
+# via the XLA engine).
+
+BVH_LEAF = 128            # chunk width (one VREG lane group)
+MAX_BVH_SPHERES = 32768   # sph_s VMEM: 16 f32/sphere = 2.1 MB at max
+MAX_BVH_TRIS = 32768      # tri_g+tri_s VMEM: 32 f32/tri = 4.2 MB at max
+
+# Unified shading-constant row layout for both chunk kinds (the winner's
+# constants ride the traversal carry; ``win_sph`` selects interpretation of
+# the GEO rows: sphere = center + 1/r, triangle = flat face normal).
+# The chunk intersectors use the DIRECT intersection forms (oc = o - c,
+# s = o - v0) — NOT the expanded bilinear/matmul forms of the brute paths:
+# secondary rays originate ON primitive surfaces, where the expansion's
+# catastrophic cancellation (|o|^2 - 2 o.c + |c|^2 with |o| >> |o-c|)
+# perturbs the near-zero self-hit root by more than T_MIN and flips
+# accept/reject decisions.  The direct forms match the XLA BVH path's
+# gather_sphere_t / gather_triangle_t (ops/intersect.py) arithmetic.
+_BS_GEO = 0     # rows 0-2: sphere center | triangle normal
+_BS_RAD = 3     # sphere radius | triangle 0 (also marks padding lanes)
+_BS_AL = 4      # rows 4-6: albedo
+_BS_FUZZ = 7
+_BS_IR = 8
+_BS_EM = 9      # rows 9-11: emission (premultiplied)
+_BS_LAM = 12    # rows 12-15: material-kind one-hot
+_BS_MET = 13
+_BS_DIE = 14
+_BS_EMI = 15
+
+# Triangle geometry rows (tri_g), transposed to sublanes per leaf visit
+_TG_V0 = 0      # rows 0-2
+_TG_E1 = 3      # rows 3-5
+_TG_E2 = 6      # rows 6-8
+
+
+def supports_bvh(scene: Scene) -> bool:
+    """Static capability gate for the packet-traversal kernel (forward-only;
+    scenes passing :func:`supports` use the brute-force kernel instead, which
+    is faster below its size limits and differentiable)."""
+    return (
+        scene.cbvh is not None
+        and scene.cbvh.leaf_size == BVH_LEAF
+        and 0 < scene.num_primitives
+        and len(scene.spheres) <= MAX_BVH_SPHERES
+        and len(scene.triangles) <= MAX_BVH_TRIS
+        and scene.spheres.num_volumes == 0
+        and not scene.materials.has_mix
+        and M.ISOTROPIC not in scene.materials.kinds_present
+        and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and scene.settings.mode in (MODE_FULL, MODE_CLAY)
+    )
+
+
+def _stack16(n, entries):
+    """(16, n) f32 from a {row: (n,) array} dict (missing rows zero)."""
+    z = jnp.zeros((n,), jnp.float32)
+    return jnp.stack([entries.get(i, z) for i in range(16)], axis=0)
+
+
+def _chunk_rows(m, lf):
+    """(16, n_chunks * lf) -> (n_chunks * 16, lf): chunk c's matrix at row
+    block [c*16, (c+1)*16) so the kernel slices chunks on the SUBLANE dim
+    (dynamic sublane offsets are cheap; dynamic lane offsets are not)."""
+    n_chunks = m.shape[1] // lf
+    return (
+        m.reshape(16, n_chunks, lf).transpose(1, 0, 2).reshape(-1, lf)
+    )
+
+
+def _mat_rows(scene: Scene, mid, pad):
+    """Common shading rows (_BS_AL.._BS_EMI) for permuted primitives."""
+    mats = scene.materials
+    al = mats.albedo[mid]
+    em = mats.emission[mid]
+    kind = mats.kind[mid]
+    f32 = jnp.float32
+    rows = {
+        _BS_AL + 0: al[:, 0], _BS_AL + 1: al[:, 1], _BS_AL + 2: al[:, 2],
+        _BS_FUZZ: mats.fuzz[mid], _BS_IR: mats.ir[mid],
+        _BS_EM + 0: em[:, 0], _BS_EM + 1: em[:, 1], _BS_EM + 2: em[:, 2],
+        _BS_LAM: (kind == M.LAMBERTIAN).astype(f32),
+        _BS_MET: (kind == M.METAL).astype(f32),
+        _BS_DIE: (kind == M.DIELECTRIC).astype(f32),
+        _BS_EMI: (kind == M.EMISSION).astype(f32),
+    }
+    return rows
+
+
+def _pack_sphere_chunks(scene: Scene, perm):
+    """Permuted sphere chunks -> s (n_chunks*16, 128), the _BS_* shading
+    rows (center + radius double as the intersection constants).  Padding
+    lanes are all-zero (radius == 0 marks them; the leaf kernel masks
+    zero-radius candidates out)."""
+    lf = BVH_LEAF
+    perm = jnp.asarray(perm)
+    idx = jnp.maximum(perm, 0)
+    pad = perm < 0
+    c = scene.spheres.center[idx]
+    r = scene.spheres.radius[idx]
+    n = idx.shape[0]
+
+    mid = scene.spheres.material[idx]
+    rows = _mat_rows(scene, mid, pad)
+    rows.update({
+        _BS_GEO + 0: c[:, 0], _BS_GEO + 1: c[:, 1], _BS_GEO + 2: c[:, 2],
+        _BS_RAD: r,
+    })
+    s_mat = jnp.where(pad[None, :], 0.0, _stack16(n, rows))
+    return _chunk_rows(s_mat, lf)
+
+
+def _pack_tri_chunks(scene: Scene, perm):
+    """Permuted triangle chunks -> (g (n_chunks*16, 128) geometry rows
+    (_TG_* layout: v0/e1/e2 for the direct Moller-Trumbore form),
+    s (n_chunks*16, 128) shading rows (_BS_* layout)).  Padding lanes are
+    all-zero -> determinant a == 0 -> rejected by the epsilon."""
+    lf = BVH_LEAF
+    perm = jnp.asarray(perm)
+    idx = jnp.maximum(perm, 0)
+    pad = perm < 0
+    tris = scene.triangles
+    v0 = tris.v0[idx]
+    e1 = tris.e1[idx]
+    e2 = tris.e2[idx]
+    n = idx.shape[0]
+    pad2 = pad[None, :]
+
+    g_mat = _stack16(n, {
+        _TG_V0 + 0: v0[:, 0], _TG_V0 + 1: v0[:, 1], _TG_V0 + 2: v0[:, 2],
+        _TG_E1 + 0: e1[:, 0], _TG_E1 + 1: e1[:, 1], _TG_E1 + 2: e1[:, 2],
+        _TG_E2 + 0: e2[:, 0], _TG_E2 + 1: e2[:, 1], _TG_E2 + 2: e2[:, 2],
+    })
+    g_mat = jnp.where(pad2, 0.0, g_mat)
+
+    mid = tris.material[idx]
+    rows = _mat_rows(scene, mid, pad)
+    nrm = tris.normal[idx]
+    rows.update({_BS_GEO + 0: nrm[:, 0], _BS_GEO + 1: nrm[:, 1],
+                 _BS_GEO + 2: nrm[:, 2]})
+    s_mat = jnp.where(pad2, 0.0, _stack16(n, rows))
+    return _chunk_rows(g_mat, lf), _chunk_rows(s_mat, lf)
+
+
+def _to_sublanes(m):
+    """(16, 128) -> (128, 16) via an identity matmul — per-primitive
+    constants move from lanes to sublanes so they broadcast against
+    (1, rays) row slices as (128, 1) columns.  (A plain transpose; the MXU
+    formulation avoids relying on a vector transpose unit.)"""
+    eye = jnp.eye(16, dtype=jnp.float32)
+    return jax.lax.dot_general(
+        m, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows):
+    """Reassemble the (8, 256) carries from per-row merge results."""
+    t_best = jnp.concatenate(tb_rows, axis=0)
+    win = jnp.concatenate(win_rows, axis=0)
+    new_par = []
+    for j in range(16):
+        new_par.append(jnp.concatenate(
+            [jnp.where(imp, p[j:j + 1], par[j][r:r + 1])
+             for r, (imp, p) in enumerate(par_rows)],
+            axis=0))
+    return t_best, tuple(new_par), win
+
+
+def _merge_leaf_rows(ti, s_m, t_best, par, win, win_val, r,
+                     tb_rows, par_rows, win_rows):
+    """Per-row winner selection + one-hot shading fetch, appended to the
+    row accumulators.  ``ti`` is (128, cols) candidate distances (inf =
+    miss) for sublane-row ``r``."""
+    hi = jax.lax.Precision.HIGHEST
+    lf = BVH_LEAF
+    cols = ti.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (lf, cols), 0)
+    tb_r = t_best[r:r + 1]
+    t_min = jnp.min(ti, axis=0, keepdims=True)
+    improved = t_min < tb_r
+    winner = jnp.min(jnp.where(ti == t_min, iota, lf),
+                     axis=0, keepdims=True)
+    onehot = jnp.where((iota == winner) & (ti == t_min), 1.0, 0.0)
+    p = jax.lax.dot_general(
+        s_m, onehot, (((1,), (0,)), ((), ())),
+        precision=hi, preferred_element_type=jnp.float32)    # (16, cols)
+    tb_rows.append(jnp.where(improved, t_min, tb_r))
+    par_rows.append((improved, p))
+    win_rows.append(jnp.where(improved, win_val, win[r:r + 1]))
+
+
+def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win):
+    """Intersect one 128-sphere chunk against the whole ray block, merging
+    winners into (t_best, par, win).  Direct (o - c) quadratic with the
+    Sphere::hit root rule (lib/objects.rs:38-45): near root if in
+    [T_MIN, t_best], else far root — arithmetic kept OPERATION-FOR-
+    OPERATION identical to the XLA BVH path's gather_sphere_t (true
+    division, not reciprocal-multiply) so the engines pick identical
+    winners and the renders match bitwise."""
+    base = pl.multiple_of(chunk * 16, 16)
+    s_m = s_ref[pl.ds(base, 16), :]                        # (16, 128)
+    g = _to_sublanes(s_m)                                  # (128, 16)
+    cx = g[:, _BS_GEO + 0:_BS_GEO + 1]                     # (128, 1)
+    cy = g[:, _BS_GEO + 1:_BS_GEO + 2]
+    cz = g[:, _BS_GEO + 2:_BS_GEO + 3]
+    rad = g[:, _BS_RAD:_BS_RAD + 1]
+    live = rad > 0.0                                       # padding lanes
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tb_rows, par_rows, win_rows = [], [], []
+    for r in range(t_best.shape[0]):
+        def row(v, r=r):
+            return v[r:r + 1, :]
+        ocx = row(ox) - cx                                 # (128, cols)
+        ocy = row(oy) - cy
+        ocz = row(oz) - cz
+        hb = ocx * row(dx) + ocy * row(dy) + ocz * row(dz)
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = hb * hb - row(a) * cq
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-hb - sq) / row(a)
+        t2 = (-hb + sq) / row(a)
+        tb_r = t_best[r:r + 1]
+        t1ok = (t1 >= T_MIN) & (t1 <= tb_r)
+        t2ok = (t2 >= T_MIN) & (t2 <= tb_r)
+        ti = jnp.where(ok & live & t1ok, t1,
+                       jnp.where(ok & live & t2ok, t2, jnp.inf))
+        _merge_leaf_rows(ti, s_m, t_best, par, win, 1.0, r,
+                         tb_rows, par_rows, win_rows)
+    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows)
+
+
+def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win):
+    """Intersect one 128-triangle chunk against the whole ray block —
+    direct cross-product Moller-Trumbore (same arithmetic as the XLA BVH
+    path's gather_triangle_t), merging winners."""
+    base = pl.multiple_of(chunk * 16, 16)
+    g_m = g_ref[pl.ds(base, 16), :]                        # (16, 128)
+    s_m = s_ref[pl.ds(base, 16), :]
+    g = _to_sublanes(g_m)                                  # (128, 16)
+
+    def col(j):
+        return g[:, j:j + 1]                               # (128, 1)
+
+    v0x, v0y, v0z = col(_TG_V0), col(_TG_V0 + 1), col(_TG_V0 + 2)
+    e1x, e1y, e1z = col(_TG_E1), col(_TG_E1 + 1), col(_TG_E1 + 2)
+    e2x, e2y, e2z = col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2)
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tb_rows, par_rows, win_rows = [], [], []
+    for r in range(t_best.shape[0]):
+        def row(v, r=r):
+            return v[r:r + 1, :]
+        dxr, dyr, dzr = row(dx), row(dy), row(dz)
+        hx = dyr * e2z - dzr * e2y                         # h = d x e2
+        hy = dzr * e2x - dxr * e2z
+        hz = dxr * e2y - dyr * e2x
+        a_ = e1x * hx + e1y * hy + e1z * hz
+        ok = jnp.abs(a_) > TRI_DET_EPS
+        f = 1.0 / jnp.where(ok, a_, 1.0)
+        sx = row(ox) - v0x                                 # s = o - v0
+        sy = row(oy) - v0y
+        sz = row(oz) - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y                           # q = s x e1
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dxr * qx + dyr * qy + dzr * qz)
+        tt = f * (e2x * qx + e2y * qy + e2z * qz)
+        tb_r = t_best[r:r + 1]
+        valid = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                 & (u + v <= 1.0) & (tt > T_MIN) & (tt <= tb_r))
+        ti = jnp.where(valid, tt, jnp.inf)
+        _merge_leaf_rows(ti, s_m, t_best, par, win, 0.0, r,
+                         tb_rows, par_rows, win_rows)
+    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows)
+
+
+def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
+                   ox, oy, oz, inv_dx, inv_dy, inv_dz, alive,
+                   t_best, par, win):
+    """Packet traversal of one chunk-leaf skip-link tree.
+
+    One scalar cursor for the whole ray block; per node a vectorized slab
+    test (utils/aabb.py:slab_hit semantics, per-ray t_best as tmax) decides
+    hit_link vs miss_link by ANY-reduction over live rays; leaf chunks run
+    ``leaf_fn`` under lax.cond.  Terminates at node == k_nodes (the root's
+    miss link).  A ray that missed a node AABB may still be tested against
+    that leaf's chunk — harmless: a conservative box miss means the exact
+    primitive test rejects it (or legitimately accepts a real hit).
+    """
+
+    def cond(state):
+        return state[0] < k_nodes
+
+    def body(state):
+        node, t_best, par, win = state
+        fb = node * 6
+        lo_x = nodes_f[fb + 0]
+        lo_y = nodes_f[fb + 1]
+        lo_z = nodes_f[fb + 2]
+        hi_x = nodes_f[fb + 3]
+        hi_y = nodes_f[fb + 4]
+        hi_z = nodes_f[fb + 5]
+        ib = node * 3
+        hit_l = nodes_i[ib + 0]
+        miss_l = nodes_i[ib + 1]
+        chunk = nodes_i[ib + 2]
+
+        t0x = (lo_x - ox) * inv_dx
+        t1x = (hi_x - ox) * inv_dx
+        t0y = (lo_y - oy) * inv_dy
+        t1y = (hi_y - oy) * inv_dy
+        t0z = (lo_z - oz) * inv_dz
+        t1z = (hi_z - oz) * inv_dz
+        entry = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), T_MIN))
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), t_best))
+        boxhit = (exit_ > entry) & alive
+        any_hit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0.0
+
+        def take(op):
+            tb, pr, wn = op
+            return leaf_fn(chunk, tb, pr, wn)
+
+        t_best, par, win = jax.lax.cond(
+            any_hit & (chunk >= 0), take, lambda op: op, (t_best, par, win))
+        node = jnp.where(any_hit, hit_l, miss_l)
+        return node, t_best, par, win
+
+    _, t_best, par, win = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t_best, par, win))
+    return t_best, par, win
+
+
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
-                   tri=None, tri_kinds=()):
+                   tri=None, tri_kinds=(), bvh=None):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -302,6 +654,11 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     required under vjp (reverse-mode cannot transpose while_loop).
     ``tri``: None or (tri_c, tri_s, tb) — the VMEM triangle constant
     matrices (_pack_tri) + static chunk width.
+    ``bvh``: None or a dict {"sph": (nodes_f, nodes_i, k_nodes, c_ref,
+    s_ref) | None, "tri": (...) | None} — switches the intersect stage to
+    chunk-leaf packet traversal (forward-only; mutually exclusive with the
+    brute-force ``tri``/unrolled-sphere path).  ``tri_kinds`` then carries
+    the kinds present among ALL primitives (for lobe compilation).
     Returns (rad_r, rad_g, rad_b).
     """
     present = set(sphere_kinds) | set(tri_kinds)
@@ -339,126 +696,20 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             tt = 0.5 * (dy * norm + 1.0)
             return tuple((1.0 - tt) * a + tt * b for a, b in zip(ca, cb))
 
-        # Bounce chain as a while_loop with an ALL-DEAD EARLY-OUT: blocks are
-        # spatially coherent (consecutive pixels), so sky-only blocks finish
-        # after one bounce instead of running all max_depth iterations
-        # (docs/performance.md "dead-lane waste").  The liveness mask rides
-        # the carry as f32 (Mosaic dislikes i1 loop state).
-        def bounce_body(state):
-            (b, ox, oy, oz, dx, dy, dz,
-             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f) = state
-            alive = alive_f > 0.0
-            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin)
-            u1, u2, u_coin = _stream_uniforms(k0, k1, ray_u32, 1 + b, 3)
-
-            # ---- intersect: unrolled sphere loop, direct quadratic form
-            a = _dot3(dx, dy, dz, dx, dy, dz)
-            inv_a = 1.0 / a
-            t_best = jnp.full_like(dx, jnp.inf)
-            best = jnp.full(dx.shape, -1, jnp.int32)
-            for i in range(n_spheres):
-                base = _SPHERES + i * _SPHERE_STRIDE
-                cx, cy, cz = f(base), f(base + 1), f(base + 2)
-                r = f(base + 3)
-                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
-                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
-                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
-                disc = half_b * half_b - a * cq
-                ok = disc >= 0.0
-                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                t1 = (-half_b - sq) * inv_a
-                t2 = (-half_b + sq) * inv_a
-                t1ok = (t1 >= T_MIN) & (t1 <= t_best)
-                t2ok = (t2 >= T_MIN) & (t2 <= t_best)
-                ti = jnp.where(t1ok, t1, jnp.where(t2ok, t2, jnp.inf))
-                better = ok & (ti < t_best)
-                t_best = jnp.where(better, ti, t_best)
-                best = jnp.where(better, i, best)
-
-            # ---- intersect: triangle chunks as MXU matmuls
-            if tri is not None:
-                tri_c, tri_s, tri_tb = tri
-                t_tri, tpar = _tri_intersect(tri_c, tri_s, tri_tb,
-                                             ox, oy, oz, dx, dy, dz)
-                tri_win = t_tri < t_best
-                t_best = jnp.where(tri_win, t_tri, t_best)
-                hit = (best >= 0) | (t_tri < jnp.inf)
-            else:
-                hit = best >= 0
-
-            # background on miss
+        def _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
+                   al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
+                   is_lam, is_met, is_die, is_emi,
+                   alive, u1, u2, u_coin,
+                   ox, oy, oz, dx, dy, dz,
+                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b):
+            """Shared bounce tail: background on miss, front-face flip,
+            material lobes, throughput/radiance update -> next state."""
+            # background on miss (lib/core/render.rs:57)
             bg_r, bg_g, bg_b = background(dx, dy, dz)
             missed = alive & ~hit
             rad_r = rad_r + jnp.where(missed, thr_r * bg_r, 0.0)
             rad_g = rad_g + jnp.where(missed, thr_g * bg_g, 0.0)
             rad_b = rad_b + jnp.where(missed, thr_b * bg_b, 0.0)
-
-            # ---- winner constants via unrolled select chains (no gathers)
-            scx = scy = scz = inv_r = zero
-            al_r = al_g = al_b = fuzz = ir = em_r = em_g = em_b = zero
-            false_ = one < zero
-            is_lam = is_met = is_die = is_emi = false_
-            for i in range(n_spheres):
-                base = _SPHERES + i * _SPHERE_STRIDE
-                sel = best == i
-                pick = lambda cur, v: jnp.where(sel, v, cur)
-                scx = pick(scx, f(base + 0))
-                scy = pick(scy, f(base + 1))
-                scz = pick(scz, f(base + 2))
-                inv_r = pick(inv_r, 1.0 / f(base + 3))
-                al_r = pick(al_r, f(base + 4))
-                al_g = pick(al_g, f(base + 5))
-                al_b = pick(al_b, f(base + 6))
-                fuzz = pick(fuzz, f(base + 7))
-                ir = pick(ir, f(base + 8))
-                em_r = pick(em_r, f(base + 9))
-                em_g = pick(em_g, f(base + 10))
-                em_b = pick(em_b, f(base + 11))
-                k = sphere_kinds[i]  # static
-                if k == M.LAMBERTIAN:
-                    is_lam = is_lam | sel
-                elif k == M.METAL:
-                    is_met = is_met | sel
-                elif k == M.DIELECTRIC:
-                    is_die = is_die | sel
-                elif k == M.EMISSION:
-                    is_emi = is_emi | sel
-
-            # hit point + front-face-flipped outward normal (safe t on miss
-            # lanes: an inf primal in a masked branch still poisons the vjp)
-            safe_t = jnp.where(hit, t_best, 1.0)
-            ptx = ox + safe_t * dx
-            pty = oy + safe_t * dy
-            ptz = oz + safe_t * dz
-            nx = (ptx - scx) * inv_r
-            ny = (pty - scy) * inv_r
-            nz = (ptz - scz) * inv_r
-
-            # merge the winning triangle's shading constants (flat normal +
-            # material values + kind one-hot rows of the S matrix)
-            if tri is not None:
-                def m(cur, row):
-                    return jnp.where(tri_win, tpar[row], cur)
-                nx = m(nx, _TS_NRM + 0)
-                ny = m(ny, _TS_NRM + 1)
-                nz = m(nz, _TS_NRM + 2)
-                al_r = m(al_r, _TS_AL + 0)
-                al_g = m(al_g, _TS_AL + 1)
-                al_b = m(al_b, _TS_AL + 2)
-                fuzz = m(fuzz, _TS_FUZZ)
-                ir = m(ir, _TS_IR)
-                em_r = m(em_r, _TS_EM + 0)
-                em_g = m(em_g, _TS_EM + 1)
-                em_b = m(em_b, _TS_EM + 2)
-                t_lam = tpar[_TS_LAM] > 0.5
-                t_met = tpar[_TS_MET] > 0.5
-                t_die = tpar[_TS_DIE] > 0.5
-                t_emi = tpar[_TS_EMI] > 0.5
-                # Mosaic cannot select on i1 vectors; boolean algebra
-                is_lam = (tri_win & t_lam) | (~tri_win & is_lam)
-                is_met = (tri_win & t_met) | (~tri_win & is_met)
-                is_die = (tri_win & t_die) | (~tri_win & is_die)
-                is_emi = (tri_win & t_emi) | (~tri_win & is_emi)
 
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
@@ -515,7 +766,6 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     mdy = rfy * inv_len + fuzz * sy
                     mdz = rfz * inv_len + fuzz * sz
                     m_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
-                    keep = is_met & m_ok
                     at_r = jnp.where(is_met, jnp.where(m_ok, al_r, 0.0), at_r)
                     at_g = jnp.where(is_met, jnp.where(m_ok, al_g, 0.0), at_g)
                     at_b = jnp.where(is_met, jnp.where(m_ok, al_b, 0.0), at_b)
@@ -584,6 +834,195 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             alive_f = jnp.where(cont, 1.0, 0.0)
             return (b + 1, ox, oy, oz, dx, dy, dz,
                     thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f)
+
+        # Bounce chain as a while_loop with an ALL-DEAD EARLY-OUT: blocks are
+        # spatially coherent (consecutive pixels), so sky-only blocks finish
+        # after one bounce instead of running all max_depth iterations
+        # (docs/performance.md "dead-lane waste").  The liveness mask rides
+        # the carry as f32 (Mosaic dislikes i1 loop state).
+        def bounce_body(state):
+            (b, ox, oy, oz, dx, dy, dz,
+             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f) = state
+            alive = alive_f > 0.0
+            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin)
+            u1, u2, u_coin = _stream_uniforms(k0, k1, ray_u32, 1 + b, 3)
+
+            a = _dot3(dx, dy, dz, dx, dy, dz)
+            inv_a = 1.0 / a
+
+            if bvh is not None:
+                # ---- intersect: chunk-leaf packet traversal (big scenes)
+                o3 = (ox, oy, oz)
+                d3 = (dx, dy, dz)
+                inv_dx = 1.0 / dx
+                inv_dy = 1.0 / dy
+                inv_dz = 1.0 / dz
+                t_best = jnp.full_like(dx, jnp.inf)
+                par = tuple(zero for _ in range(16))
+                win = zero
+                if bvh.get("sph") is not None:
+                    nf, ni, k_n, s_ref = bvh["sph"]
+
+                    def sph_leaf(chunk, tb, pr, wn, s_ref=s_ref, a=a):
+                        return _sphere_chunk_hit(s_ref, chunk, o3, d3,
+                                                 a, tb, pr, wn)
+
+                    t_best, par, win = _traverse_tree(
+                        nf, ni, k_n, sph_leaf, ox, oy, oz,
+                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+                if bvh.get("tri") is not None:
+                    nf, ni, k_n, g_ref, s_ref = bvh["tri"]
+
+                    def tri_leaf(chunk, tb, pr, wn, g_ref=g_ref,
+                                 s_ref=s_ref):
+                        return _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3,
+                                              tb, pr, wn)
+
+                    t_best, par, win = _traverse_tree(
+                        nf, ni, k_n, tri_leaf, ox, oy, oz,
+                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+                hit = t_best < jnp.inf
+
+                safe_t = jnp.where(hit, t_best, 1.0)
+                ptx = ox + safe_t * dx
+                pty = oy + safe_t * dy
+                ptz = oz + safe_t * dz
+                # GEO rows: sphere center + radius, or triangle flat normal
+                win_sph = win > 0.5
+                gx = par[_BS_GEO + 0]
+                gy = par[_BS_GEO + 1]
+                gz = par[_BS_GEO + 2]
+                # (p - c) / r, division as in sphere_normal
+                # (ops/intersect.py) for bitwise engine parity
+                g_rad = jnp.where(par[_BS_RAD] > 0.0, par[_BS_RAD], 1.0)
+                nx = jnp.where(win_sph, (ptx - gx) / g_rad, gx)
+                ny = jnp.where(win_sph, (pty - gy) / g_rad, gy)
+                nz = jnp.where(win_sph, (ptz - gz) / g_rad, gz)
+                al_r = par[_BS_AL + 0]
+                al_g = par[_BS_AL + 1]
+                al_b = par[_BS_AL + 2]
+                fuzz = par[_BS_FUZZ]
+                ir = par[_BS_IR]
+                em_r = par[_BS_EM + 0]
+                em_g = par[_BS_EM + 1]
+                em_b = par[_BS_EM + 2]
+                is_lam = par[_BS_LAM] > 0.5
+                is_met = par[_BS_MET] > 0.5
+                is_die = par[_BS_DIE] > 0.5
+                is_emi = par[_BS_EMI] > 0.5
+                return _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
+                              al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
+                              is_lam, is_met, is_die, is_emi,
+                              alive, u1, u2, u_coin,
+                              ox, oy, oz, dx, dy, dz,
+                              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b)
+
+            # ---- intersect: unrolled sphere loop, direct quadratic form
+            t_best = jnp.full_like(dx, jnp.inf)
+            best = jnp.full(dx.shape, -1, jnp.int32)
+            for i in range(n_spheres):
+                base = _SPHERES + i * _SPHERE_STRIDE
+                cx, cy, cz = f(base), f(base + 1), f(base + 2)
+                r = f(base + 3)
+                ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                cq = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = half_b * half_b - a * cq
+                ok = disc >= 0.0
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t1 = (-half_b - sq) * inv_a
+                t2 = (-half_b + sq) * inv_a
+                t1ok = (t1 >= T_MIN) & (t1 <= t_best)
+                t2ok = (t2 >= T_MIN) & (t2 <= t_best)
+                ti = jnp.where(t1ok, t1, jnp.where(t2ok, t2, jnp.inf))
+                better = ok & (ti < t_best)
+                t_best = jnp.where(better, ti, t_best)
+                best = jnp.where(better, i, best)
+
+            # ---- intersect: triangle chunks as MXU matmuls
+            if tri is not None:
+                tri_c, tri_s, tri_tb = tri
+                t_tri, tpar = _tri_intersect(tri_c, tri_s, tri_tb,
+                                             ox, oy, oz, dx, dy, dz)
+                tri_win = t_tri < t_best
+                t_best = jnp.where(tri_win, t_tri, t_best)
+                hit = (best >= 0) | (t_tri < jnp.inf)
+            else:
+                hit = best >= 0
+
+            # ---- winner constants via unrolled select chains (no gathers)
+            scx = scy = scz = inv_r = zero
+            al_r = al_g = al_b = fuzz = ir = em_r = em_g = em_b = zero
+            false_ = one < zero
+            is_lam = is_met = is_die = is_emi = false_
+            for i in range(n_spheres):
+                base = _SPHERES + i * _SPHERE_STRIDE
+                sel = best == i
+                pick = lambda cur, v: jnp.where(sel, v, cur)
+                scx = pick(scx, f(base + 0))
+                scy = pick(scy, f(base + 1))
+                scz = pick(scz, f(base + 2))
+                inv_r = pick(inv_r, 1.0 / f(base + 3))
+                al_r = pick(al_r, f(base + 4))
+                al_g = pick(al_g, f(base + 5))
+                al_b = pick(al_b, f(base + 6))
+                fuzz = pick(fuzz, f(base + 7))
+                ir = pick(ir, f(base + 8))
+                em_r = pick(em_r, f(base + 9))
+                em_g = pick(em_g, f(base + 10))
+                em_b = pick(em_b, f(base + 11))
+                k = sphere_kinds[i]  # static
+                if k == M.LAMBERTIAN:
+                    is_lam = is_lam | sel
+                elif k == M.METAL:
+                    is_met = is_met | sel
+                elif k == M.DIELECTRIC:
+                    is_die = is_die | sel
+                elif k == M.EMISSION:
+                    is_emi = is_emi | sel
+
+            # hit point + front-face-flipped outward normal (safe t on miss
+            # lanes: an inf primal in a masked branch still poisons the vjp)
+            safe_t = jnp.where(hit, t_best, 1.0)
+            ptx = ox + safe_t * dx
+            pty = oy + safe_t * dy
+            ptz = oz + safe_t * dz
+            nx = (ptx - scx) * inv_r
+            ny = (pty - scy) * inv_r
+            nz = (ptz - scz) * inv_r
+
+            # merge the winning triangle's shading constants (flat normal +
+            # material values + kind one-hot rows of the S matrix)
+            if tri is not None:
+                def m(cur, row):
+                    return jnp.where(tri_win, tpar[row], cur)
+                nx = m(nx, _TS_NRM + 0)
+                ny = m(ny, _TS_NRM + 1)
+                nz = m(nz, _TS_NRM + 2)
+                al_r = m(al_r, _TS_AL + 0)
+                al_g = m(al_g, _TS_AL + 1)
+                al_b = m(al_b, _TS_AL + 2)
+                fuzz = m(fuzz, _TS_FUZZ)
+                ir = m(ir, _TS_IR)
+                em_r = m(em_r, _TS_EM + 0)
+                em_g = m(em_g, _TS_EM + 1)
+                em_b = m(em_b, _TS_EM + 2)
+                t_lam = tpar[_TS_LAM] > 0.5
+                t_met = tpar[_TS_MET] > 0.5
+                t_die = tpar[_TS_DIE] > 0.5
+                t_emi = tpar[_TS_EMI] > 0.5
+                # Mosaic cannot select on i1 vectors; boolean algebra
+                is_lam = (tri_win & t_lam) | (~tri_win & is_lam)
+                is_met = (tri_win & t_met) | (~tri_win & is_met)
+                is_die = (tri_win & t_die) | (~tri_win & is_die)
+                is_emi = (tri_win & t_emi) | (~tri_win & is_emi)
+
+            return _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
+                          al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
+                          is_lam, is_met, is_die, is_emi,
+                          alive, u1, u2, u_coin,
+                          ox, oy, oz, dx, dy, dz,
+                          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b)
 
         def bounce_cond(state):
             b, *_, alive_f = state
@@ -826,12 +1265,24 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     return radiance
 
 
-def _pack_fparams(scene: Scene, width: int, height: int):
-    """Runtime scene constants -> (K,) f32 (traced; no host sync)."""
+def _pack_fparams(scene: Scene, width: int, height: int,
+                  with_spheres: bool = True):
+    """Runtime scene constants -> (K,) f32 (traced; no host sync).
+
+    ``with_spheres=False`` packs only the head (camera + background + pixel
+    scale) — the BVH kernel keeps sphere constants in VMEM chunks instead
+    of SMEM."""
     origin, horizontal, vertical, lower_left = scene.camera.ray_origin()
     bg = scene.background
     bg_a = bg.color_a
     bg_b = bg.color_b if bg.color_b is not None else bg.color_a
+    head = jnp.concatenate([
+        origin, horizontal, vertical, lower_left,
+        bg_a, bg_b,
+        jnp.array([1.0 / (width - 1), 1.0 / (height - 1)], jnp.float32),
+    ])
+    if not with_spheres:
+        return head.astype(jnp.float32)
     mats = scene.materials
     mat_id = scene.spheres.material
     per_sphere = jnp.concatenate(
@@ -845,11 +1296,6 @@ def _pack_fparams(scene: Scene, width: int, height: int):
         ],
         axis=1,
     ).reshape(-1)
-    head = jnp.concatenate([
-        origin, horizontal, vertical, lower_left,
-        bg_a, bg_b,
-        jnp.array([1.0 / (width - 1), 1.0 / (height - 1)], jnp.float32),
-    ])
     return jnp.concatenate([head, per_sphere]).astype(jnp.float32)
 
 
@@ -865,6 +1311,31 @@ def seed_words(seed: int):
     return jnp.array(
         [(seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF], jnp.int32
     )
+
+
+def _prep_rays(pixel_ids, spp: int, width: int):
+    """(pixel, sample) fan-out -> (ray_ids, px, py) as (rows, 256) blocks."""
+    p = pixel_ids.shape[0]
+    n_rays = p * spp
+
+    ray_ids = (
+        pixel_ids[:, None] * spp + jnp.arange(spp, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    pid = jnp.repeat(pixel_ids, spp)
+    px = (pid % width).astype(jnp.float32)
+    py = (pid // width).astype(jnp.float32)
+
+    pad = (-n_rays) % BLOCK
+    if pad:
+        ray_ids = jnp.concatenate([ray_ids, jnp.zeros(pad, jnp.int32)])
+        px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
+        py = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
+    total = n_rays + pad
+    rows = total // BLOCK_COLS
+
+    shape2d = (rows, BLOCK_COLS)
+    return (ray_ids.reshape(shape2d), px.reshape(shape2d),
+            py.reshape(shape2d), rows, n_rays)
 
 
 def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
@@ -886,27 +1357,7 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
         tri_kinds = _tri_kinds(scene)
     spp = scene.settings.samples_per_pixel
     p = pixel_ids.shape[0]
-    n_rays = p * spp
-
-    ray_ids = (
-        pixel_ids[:, None] * spp + jnp.arange(spp, dtype=jnp.int32)[None, :]
-    ).reshape(-1)
-    pid = jnp.repeat(pixel_ids, spp)
-    px = (pid % width).astype(jnp.float32)
-    py = (pid // width).astype(jnp.float32)
-
-    pad = (-n_rays) % BLOCK
-    if pad:
-        ray_ids = jnp.concatenate([ray_ids, jnp.zeros(pad, jnp.int32)])
-        px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
-        py = jnp.concatenate([py, jnp.zeros(pad, jnp.float32)])
-    total = n_rays + pad
-    rows = total // BLOCK_COLS
-
-    shape2d = (rows, BLOCK_COLS)
-    ray_ids = ray_ids.reshape(shape2d)
-    px = px.reshape(shape2d)
-    py = py.reshape(shape2d)
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width)
 
     fparams = _pack_fparams(scene, width, height)
 
@@ -933,6 +1384,141 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
                                           ray_ids, px, py)
     else:
         rad_r, rad_g, rad_b = radiance_fn(fparams, iparams, ray_ids, px, py)
+
+    radiance = jnp.stack(
+        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
+    )[:n_rays]
+    radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
+    return radiance.reshape(p, spp, 3).mean(axis=1)
+
+
+# ----------------------------------------------- BVH packet-traversal driver
+
+def _bvh_kinds(scene: Scene) -> tuple:
+    """Static sorted tuple of material-kind ids used by ANY primitive."""
+    return tuple(sorted(set(_sphere_kinds(scene)) | set(_tri_kinds(scene))))
+
+
+def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
+    """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
+    ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
+    ride VMEM."""
+    has_sph = k_sph > 0
+    has_tri = k_tri > 0
+
+    def kernel(iparams, fparams, *refs):
+        refs = list(refs)
+        sph_nodes = refs[:2] if has_sph else None
+        if has_sph:
+            refs = refs[2:]
+        tri_nodes = refs[:2] if has_tri else None
+        if has_tri:
+            refs = refs[2:]
+        sph = tri_ = None
+        if has_sph:
+            sph = (sph_nodes[0], sph_nodes[1], k_sph, refs[0])
+            refs = refs[1:]
+        if has_tri:
+            tri_ = (tri_nodes[0], tri_nodes[1], k_tri, refs[0], refs[1])
+            refs = refs[2:]
+        ray_id_ref, px_ref, py_ref, out_r, out_g, out_b = refs
+
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+        ray_id = ray_id_ref[...]
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+
+        rad_r, rad_g, rad_b = _radiance_math(
+            lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
+            n_spheres=0, max_depth=max_depth, sphere_kinds=(),
+            bg_kind=bg_kind, clay=clay, unrolled=False,
+            tri=None, tri_kinds=kinds, bvh={"sph": sph, "tri": tri_},
+        )
+        out_r[...] = rad_r
+        out_g[...] = rad_g
+        out_b[...] = rad_b
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
+              n_sph_chunks, n_tri_chunks, k_sph, k_tri):
+    """pallas_call wrapper for one static BVH-kernel configuration."""
+    shape2d = (rows, BLOCK_COLS)
+    grid = rows // BLOCK_ROWS
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+
+    def full(r, c):
+        return pl.BlockSpec((r, c), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = []
+    if n_sph_chunks:
+        in_specs += [full(n_sph_chunks * 16, BVH_LEAF)]
+    if n_tri_chunks:
+        in_specs += [full(n_tri_chunks * 16, BVH_LEAF),
+                     full(n_tri_chunks * 16, BVH_LEAF)]
+    in_specs += [block, block, block]
+
+    kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 + 2 * bool(n_sph_chunks) + 2 * bool(
+            n_tri_chunks),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=[block, block, block],
+    )
+
+    def run(iparams, fparams, scal, tens, ray_ids, px, py):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[out, out, out],
+            interpret=interpret,
+        )(iparams, fparams, *scal, *tens, ray_ids, px, py)
+
+    return run
+
+
+def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
+                              height: int, iparams, *,
+                              kinds: tuple | None = None,
+                              interpret: bool = False):
+    """Mean clamped radiance per pixel -> (P, 3) via the packet-traversal
+    kernel — the fast path for scenes beyond :func:`supports`' brute-force
+    limits (gated by :func:`supports_bvh`).  Forward-only: the traversal
+    while_loop is control flow and has no AD rule; differentiable fits of
+    big scenes use the XLA engine (diff/grad.py resolves this statically).
+    """
+    cb = scene.cbvh
+    if kinds is None:
+        kinds = _bvh_kinds(scene)
+    spp = scene.settings.samples_per_pixel
+    p = pixel_ids.shape[0]
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width)
+    fparams = _pack_fparams(scene, width, height, with_spheres=False)
+
+    scal, tens = [], []
+    if cb.n_sph_chunks:
+        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+    if cb.n_tri_chunks:
+        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+
+    run = _bvh_call(
+        scene.settings.max_ray_depth, kinds, scene.background.kind,
+        scene.settings.mode == MODE_CLAY, rows, interpret,
+        cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
+    )
+    rad_r, rad_g, rad_b = run(iparams, fparams, scal, tens, ray_ids, px, py)
 
     radiance = jnp.stack(
         [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1

@@ -116,14 +116,48 @@ def _render_pallas(scene: Scene, width: int, height: int, iparams,
     return mean.reshape(height, width, 3)
 
 
-def use_pallas(scene: Scene, engine: str) -> bool:
-    from ..ops.pallas_megakernel import supports
+@partial(jax.jit,
+         static_argnames=("width", "height", "kinds", "interpret"))
+def _render_pallas_bvh(scene: Scene, width: int, height: int, iparams,
+                       kinds: tuple, interpret: bool):
+    from ..ops.pallas_megakernel import pixel_radiance_pallas_bvh
 
+    pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
+    mean = pixel_radiance_pallas_bvh(scene, pixel_ids, width, height,
+                                     iparams, kinds=kinds,
+                                     interpret=interpret)
+    return mean.reshape(height, width, 3)
+
+
+def select_engine(scene: Scene, engine: str) -> str:
+    """Resolve "auto" -> the fastest applicable engine on this backend.
+
+    Preference order: brute-force megakernel (fastest below its size
+    limits, differentiable) > packet-traversal BVH kernel (big scenes,
+    forward-only) > XLA wavefront (everything).  Explicit engine names pass
+    through.  "auto" picks a Pallas engine only on real TPUs — in interpret
+    mode on CPU the kernels are correctness tools, not fast paths.
+    """
+    if engine != "auto":
+        return engine
+    from ..ops.pallas_megakernel import supports, supports_bvh
+
+    if jax.devices()[0].platform == "cpu":
+        return "xla"
+    if supports(scene):
+        return "pallas"
+    if supports_bvh(scene):
+        return "pallas_bvh"
+    return "xla"
+
+
+def use_pallas(scene: Scene, engine: str) -> bool:
+    """True when the (differentiable) brute-force megakernel will be used."""
     if engine == "xla":
         return False
     if engine == "pallas":
         return True
-    return supports(scene) and jax.devices()[0].platform != "cpu"
+    return select_engine(scene, engine) == "pallas"
 
 
 def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
@@ -145,14 +179,21 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
     if key is None:
         key = rng.base_key(seed)
     key = jnp.asarray(key)
-    if use_pallas(scene, engine):
+    resolved = select_engine(scene, engine)
+    interpret = jax.devices()[0].platform == "cpu"
+    if resolved == "pallas":
         from ..ops.pallas_megakernel import _sphere_kinds, _tri_kinds
 
-        interpret = jax.devices()[0].platform == "cpu"
         return _render_pallas(scene, width, height,
                               key.astype(jnp.int32),
                               _sphere_kinds(scene), _tri_kinds(scene),
                               interpret)
+    if resolved == "pallas_bvh":
+        from ..ops.pallas_megakernel import _bvh_kinds
+
+        return _render_pallas_bvh(scene, width, height,
+                                  key.astype(jnp.int32),
+                                  _bvh_kinds(scene), interpret)
     spp = scene.settings.samples_per_pixel
     if tile_rays is None:
         tile_rays = default_tile_rays(scene)

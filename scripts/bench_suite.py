@@ -13,6 +13,12 @@ framework's own headline metrics:
   mesh_render      monkey.obj, 40x40, spp 10, depth 50
                    (benches/mesh.rs:9-22)
   fwd_bwd          differentiable render step on benchmark.json (bench.py)
+  bvh_stress_render   scenes/bvh_stress.json (1,189 spheres) render,
+                      per engine (pallas_bvh packet traversal vs xla)
+  grid8k_render       8,000-sphere grid render (the reference's BVH stress
+                      GEOMETRY, actually rendered), per engine
+  mesh_render_house   house.obj (9,153 tris — above the brute kernel's
+                      8,192 limit), per engine
 
     python scripts/bench_suite.py [--platform cpu] [--skip mesh_render ...]
 """
@@ -124,6 +130,54 @@ def main():
         )
         emit("mesh_render_monkey_40x40", dt, {
             "rays_per_s": round(40 * 40 * 10 / dt, 1)})
+
+    # --- BVH-path renders, per engine (VERDICT r1 item 7: publish render
+    # throughput for scenes the brute-force kernel cannot take)
+    def engine_rows(name, scene, w, h, engines=("pallas_bvh", "xla")):
+        spp = scene.settings.samples_per_pixel
+        for eng in engines:
+            # vary the seed so the axon tunnel cannot dedup dispatches
+            seeds = iter(range(1000))
+
+            def go(eng=eng):
+                render_linear(scene, w, h, seed=next(seeds),
+                              engine=eng).block_until_ready()
+            try:
+                dt = time_best(go, args.iters)
+            except Exception as e:  # pragma: no cover - engine gate
+                emit(f"{name}[{eng}]", float("nan"),
+                     {"error": type(e).__name__})
+                continue
+            emit(f"{name}[{eng}]", dt, {
+                "rays_per_s": round(w * h * spp / dt, 1)})
+
+    if "bvh_stress_render" not in args.skip:
+        from raytracingrust_tpu.models.scene import load_scene
+
+        scene = load_scene(os.path.join(
+            os.path.dirname(__file__), "..", "scenes", "bvh_stress.json"))
+        engine_rows("bvh_stress_render_256", scene, 256, 256)
+
+    if "grid8k_render" not in args.skip:
+        from raytracingrust_tpu import Camera
+
+        b = sphere_grid(20, 20, 20)
+        b.camera = Camera.create((35, 30, 38), (9.5, 9.5, 9.5), (0, 1, 0),
+                                 45.0, 1.0)
+        b.settings = RenderSettings(samples_per_pixel=5, max_ray_depth=6)
+        engine_rows("grid8k_render_256", b.build(with_bvh=True), 256, 256)
+
+    if "mesh_render_house" not in args.skip:
+        from raytracingrust_tpu import Camera, Lambertian
+
+        b = SceneBuilder()
+        b.camera = Camera.create((8, 6, 10), (0, 1, 0), (0, 1, 0), 45.0, 1.0)
+        b.settings = RenderSettings(samples_per_pixel=5, max_ray_depth=6)
+        m = b.add_material(Lambertian((0.7, 0.6, 0.5)))
+        b.add_mesh(Mesh.from_file(
+            os.path.join(REF, "assets", "house.obj"), m))
+        engine_rows("mesh_render_house_256", b.build(with_bvh=True),
+                    256, 256)
 
     # --- headline fwd+bwd (delegates to bench.py logic)
     if "fwd_bwd" not in args.skip:

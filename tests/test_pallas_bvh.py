@@ -1,0 +1,242 @@
+"""Packet-traversal BVH kernel tests (interpret mode on CPU).
+
+The chunk-leaf BVH kernel (ops/pallas_megakernel.py: supports_bvh path) is
+the fast path for scenes beyond the brute-force kernel's limits — the
+completed, TPU-shaped form of the traversal the reference left as comments
+(/root/reference/lib/core/bvh.rs:201-293).  Ground truth at two strengths:
+
+  * BITWISE equality against the brute-force Pallas kernel on scenes both
+    support (they share the scatter/shading code; the BVH intersect stage
+    must therefore be exactly equivalent);
+  * fraction-of-flipped-samples agreement against the XLA engine on big
+    scenes (the engines' scatter math differs at ulp level away from unit
+    scale, flipping borderline hit decisions on a tiny fraction of paths —
+    the same tolerance family as test_pallas.py::assert_engines_agree).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracingrust_tpu import (
+    Camera,
+    Dielectric,
+    Emission,
+    Lambertian,
+    Metal,
+    RenderSettings,
+    SceneBuilder,
+)
+from raytracingrust_tpu.ops import pallas_megakernel as PK
+from raytracingrust_tpu.render.render import render_linear
+
+
+def grid_builder(n=7, depth=4, spp=2, spacing=0.8, radius=0.3):
+    """n^3-sphere grid with mixed materials (the shape of the reference's
+    BVH stress benches, benches/bvh_tree_stress.rs:16-30)."""
+    b = SceneBuilder()
+    b.camera = Camera.create((6, 5, 8), (0, 0, 0), (0, 1, 0), 50.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=spp, max_ray_depth=depth)
+    mats = [
+        b.add_material(Lambertian((0.7, 0.3, 0.2))),
+        b.add_material(Metal((0.9, 0.9, 0.9), 0.1)),
+        b.add_material(Emission((2.0, 1.5, 1.0))),
+        b.add_material(Dielectric(1.5)),
+    ]
+    rs = np.random.RandomState(0)
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                b.add_sphere(
+                    ((i - n / 2) * spacing, (j - n / 2) * spacing,
+                     (k - n / 2) * spacing),
+                    radius, mats[rs.randint(4)],
+                )
+    return b
+
+
+def mesh_builder(n_side=12, depth=3, spp=1):
+    """Synthetic triangle sheet (2 * n_side^2 tris) + a couple of spheres."""
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 2.5, 4), (0, 0, 0), (0, 1, 0), 55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=spp, max_ray_depth=depth)
+    ml = b.add_material(Lambertian((0.6, 0.5, 0.3)))
+    mm = b.add_material(Metal((0.9, 0.85, 0.8), 0.05))
+    me = b.add_material(Emission((2.5, 2.2, 1.8)))
+
+    xs = np.linspace(-2, 2, n_side + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    gy = 0.3 * np.sin(gx * 2.1) * np.cos(gz * 1.7)
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n_side):
+        for j in range(n_side):
+            a = i * (n_side + 1) + j
+            bq = a + 1
+            c = a + (n_side + 1)
+            d = c + 1
+            faces.append([a, bq, c])
+            faces.append([bq, d, c])
+    faces = np.asarray(faces, np.int32)
+    b.add_mesh(Mesh.from_buffers(verts, verts, faces, ml))
+    b.add_sphere((0.8, 1.2, 0.0), 0.4, mm)
+    b.add_sphere((-1.2, 1.8, 0.5), 0.35, me)
+    return b
+
+
+# ------------------------------------------------------------------- builder
+
+def test_chunked_builder_invariants():
+    from raytracingrust_tpu.ops.bvh import (_build_chunked_topology,
+                                            primitive_bounds)
+
+    scene = grid_builder(n=9).build(with_bvh=True)  # 729 spheres
+    mins, maxs = primitive_bounds(scene.spheres, scene.triangles)
+    nf, ni, perm = _build_chunked_topology(mins, maxs, 128)
+    k = nf.shape[0]
+    hit, miss, chunk = ni[:, 0], ni[:, 1], ni[:, 2]
+
+    # perm covers every primitive exactly once (plus -1 padding)
+    real = perm[perm >= 0]
+    assert sorted(real.tolist()) == list(range(mins.shape[0]))
+    # links always advance (stackless termination) and stay in [1, k]
+    assert (hit > np.arange(k)).all() and (hit <= k).all()
+    assert (miss > np.arange(k)).all() and (miss <= k).all()
+    # leaves: hit == miss (continue at skip link); inner: hit == next node
+    leaf = chunk >= 0
+    assert (hit[leaf] == miss[leaf]).all()
+    assert (hit[~leaf] == np.arange(k)[~leaf] + 1).all()
+    # every leaf chunk's primitives fit inside the leaf AABB
+    for node in np.nonzero(leaf)[0]:
+        ids = perm[chunk[node] * 128:(chunk[node] + 1) * 128]
+        ids = ids[ids >= 0]
+        assert (mins[ids] >= nf[node, :3] - 1e-6).all()
+        assert (maxs[ids] <= nf[node, 3:] + 1e-6).all()
+
+
+def test_supports_bvh_gate():
+    from raytracingrust_tpu import Background, Isotropic
+
+    s = grid_builder().build(with_bvh=True)
+    assert PK.supports_bvh(s) and not PK.supports(s)
+    # no chunked BVH -> no kernel
+    assert not PK.supports_bvh(grid_builder().build(with_bvh=False))
+    # volumes excluded
+    b = grid_builder(n=3)
+    iso = b.add_material(Isotropic((0.5, 0.5, 0.5)))
+    vi = b.add_sphere((0, 4, 0), 0.5, iso)
+    b.add_volume(vi, 2.0)
+    assert not PK.supports_bvh(b.build(with_bvh=True))
+    # skymap background excluded (equirect lookup is XLA-only for now)
+    b2 = grid_builder(n=3)
+    img = np.ones((4, 8, 3), np.float32)
+    b2.background = Background.skymap_from_array(img)
+    assert not PK.supports_bvh(b2.build(with_bvh=True))
+
+
+# ------------------------------------------- equivalence vs the brute kernel
+
+def test_bvh_kernel_bitwise_vs_brute_kernel_spheres():
+    """On scenes BOTH kernels support, the BVH packet traversal must find
+    exactly the winners the brute-force unrolled loop finds — the renders
+    are bitwise identical (shared scatter code, shared RNG)."""
+    scene = grid_builder(n=4, depth=6, spp=2, spacing=1.4,
+                         radius=0.5).build(with_bvh=True)
+    assert PK.supports(scene) and PK.supports_bvh(scene)
+    brute = np.asarray(render_linear(scene, 16, 16, seed=0, engine="pallas"))
+    bvh = np.asarray(
+        render_linear(scene, 16, 16, seed=0, engine="pallas_bvh"))
+    np.testing.assert_array_equal(brute, bvh)
+
+
+def test_bvh_kernel_bitwise_vs_brute_kernel_mixed():
+    """Spheres + triangles: the two-tree pass (spheres seed t_best for the
+    triangle traversal) must equal the brute kernel's merged intersect...
+    up to the brute path's KNOWN bilinear-vs-direct triangle t difference.
+    The brute kernel keeps the matmul-form t; the BVH kernel uses the
+    direct cross-product form (equal to the XLA BVH path instead), so a
+    tiny fraction of borderline paths may flip."""
+    scene = mesh_builder(n_side=8, depth=3).build(with_bvh=True)
+    assert PK.supports(scene) and PK.supports_bvh(scene)
+    brute = np.asarray(render_linear(scene, 24, 24, seed=0, engine="pallas"))
+    bvh = np.asarray(
+        render_linear(scene, 24, 24, seed=0, engine="pallas_bvh"))
+    neq = (brute != bvh).any(-1)
+    assert neq.mean() <= 3 / (24 * 24), f"{neq.sum()} pixels differ"
+    np.testing.assert_array_equal(brute[~neq], bvh[~neq])
+
+
+# ----------------------------------------------------- agreement vs XLA BVH
+
+def assert_matches_xla(scene, w=16, h=16, frac=0.04, mean_tol=4e-2, seed=0):
+    xla = np.asarray(render_linear(scene, w, h, seed=seed, engine="xla"))
+    bvh = np.asarray(
+        render_linear(scene, w, h, seed=seed, engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, bvh, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= frac, (
+        f"{mismatched:.4f} channels differ; max {np.abs(xla - bvh).max():.5f}"
+    )
+    assert np.abs(xla - bvh).mean() < mean_tol
+
+
+def test_bvh_kernel_matches_xla_grid343():
+    """343 spheres — beyond the brute kernel's 128-sphere limit: the class
+    of scene this kernel exists for."""
+    scene = grid_builder(n=7, depth=4, spp=2).build(with_bvh=True)
+    assert not PK.supports(scene) and PK.supports_bvh(scene)
+    # dense grid, many grazing hits -> more borderline ulp flips (the BVH
+    # kernel is BITWISE equal to the brute kernel, see the tests above; the
+    # flips here are the established brute-vs-XLA scatter-math divergence,
+    # cf. test_pallas.py clay tolerance 0.12)
+    assert_matches_xla(scene, frac=0.08)
+
+
+def test_bvh_kernel_matches_xla_stress_scene():
+    """The repo's own BVH stress scene (1,189 spheres) — VERDICT round-1
+    item 1's named target."""
+    from raytracingrust_tpu.models.scene import load_scene
+
+    scene = load_scene("scenes/bvh_stress.json", with_bvh=True)
+    scene = jax.tree.map(lambda x: x, scene)  # noqa  (sanity: pytree ok)
+    assert PK.supports_bvh(scene)
+    assert_matches_xla(scene, w=20, h=16)
+
+
+def test_bvh_kernel_matches_xla_mesh():
+    """Triangle-sheet scene through the triangle tree."""
+    scene = mesh_builder(n_side=10, depth=3).build(with_bvh=True)
+    assert PK.supports_bvh(scene)
+    assert_matches_xla(scene, w=20, h=20)
+
+
+def test_bvh_kernel_depth1_exact_vs_xla():
+    """Primary visibility is bitwise: camera rays share every operation
+    with the XLA path (jitter, camera basis, direct quadratic, background),
+    so any depth-1 difference is a real traversal bug, not ulp noise."""
+    b = grid_builder(n=7, depth=1, spp=2)
+    scene = b.build(with_bvh=True)
+    xla = np.asarray(render_linear(scene, 24, 24, seed=0, engine="xla"))
+    bvh = np.asarray(
+        render_linear(scene, 24, 24, seed=0, engine="pallas_bvh"))
+    np.testing.assert_array_equal(xla, bvh)
+
+
+def test_bvh_kernel_clay_mode():
+    b = grid_builder(n=5, depth=3, spp=2)
+    b.settings = RenderSettings(samples_per_pixel=2, max_ray_depth=3,
+                                mode="Clay")
+    scene = b.build(with_bvh=True)
+    assert PK.supports_bvh(scene)
+    assert_matches_xla(scene, frac=0.08)
+
+
+def test_bvh_kernel_gradient_background():
+    from raytracingrust_tpu import Background
+
+    b = grid_builder(n=5, depth=3, spp=2)
+    b.background = Background.gradient((0.2, 0.3, 0.8), (1.0, 1.0, 0.9))
+    scene = b.build(with_bvh=True)
+    assert_matches_xla(scene)
