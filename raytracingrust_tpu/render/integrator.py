@@ -40,12 +40,18 @@ from ..ops.traverse import intersect_bvh
 from ..utils import rng, vec
 from ..utils.types import T_MIN
 
-# per-ray key fold_in streams: 0 = pixel jitter, 1 + b = bounce b
+# per-ray key fold_in streams: 0 = pixel jitter, 1 + b = bounce b;
+# env-NEE draws for bounce b live past the bounce range so turning
+# importance sampling on/off never shifts the naive path's randomness
 JITTER_STREAM = 0
 
 
 def bounce_stream(b):
     return 1 + b
+
+
+def nee_stream(b, max_depth):
+    return 1 + max_depth + b
 
 
 # Below this primitive count the dense matmul intersector beats lockstep
@@ -93,9 +99,20 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
         return jnp.where(hit.hit[..., None], ncol, bg)
 
     clay = mode == S.MODE_CLAY
+    # Environment importance sampling (one-sample MIS, BASELINE config #4):
+    # at each diffuse hit, ALSO draw one direction proportional to sky
+    # luminance x sin(theta) and trace a shadow ray; both the NEE and the
+    # BSDF-sampled env contributions are balance-heuristic weighted so the
+    # combined estimator stays unbiased.  Only meaningful with an HDRI sky.
+    env_is = (
+        settings.env_importance_sampling
+        and not clay
+        and scene.background.kind == 2  # backgrounds.SKYMAP
+    )
+    max_depth = settings.max_ray_depth
 
     def bounce(carry, b):
-        o, d, throughput, radiance, alive = carry
+        o, d, throughput, radiance, alive, mis_pdf = carry
         if _ABLATE_RNG:
             u = jnp.full((o.shape[0], n_uniforms), 0.5)
         else:
@@ -104,8 +121,18 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
         hit = closest_hit(scene, o, d, u_vol)
 
         missed = alive & ~hit.hit
+        bg_rad = scene.background.sample(d)
+        if env_is:
+            # MIS weight of the BSDF-sampled env hit: rays whose last
+            # scatter was diffuse (mis_pdf > 0) share the env's measure
+            # with the NEE sample below; specular/primary rays keep w = 1
+            dn = vec.normalize(jax.lax.stop_gradient(d))
+            p_env = scene.background.pdf(dn)
+            w_b = jnp.where(mis_pdf > 0.0,
+                            mis_pdf / (mis_pdf + p_env), 1.0)
+            bg_rad = bg_rad * w_b[..., None]
         radiance = radiance + jnp.where(
-            missed[..., None], throughput * scene.background.sample(d), 0.0
+            missed[..., None], throughput * bg_rad, 0.0
         )
 
         mat_id = shade_ops.resolve_mix(
@@ -129,16 +156,54 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
         )
 
         cont = alive & hit.hit & scatters
+        if env_is:
+            from ..models import materials as M
+            from ..models.backgrounds import sample_skymap_direction
+            from ..utils.lookup import tgather
+            from ..utils.types import PI
+
+            kind = tgather(scene.materials.kind, mat_id)
+            diffuse = cont & (kind == M.LAMBERTIAN)
+            un = rng.ray_uniforms(key, ray_ids, nee_stream(b, max_depth),
+                                  2 + n_vol)
+            d_l, p_l = sample_skymap_direction(
+                scene.background, un[:, 0], un[:, 1])
+            d_l = jax.lax.stop_gradient(d_l)
+            p_l = jax.lax.stop_gradient(p_l)
+            cos_l = jnp.maximum(vec.dot(hit.normal, d_l), 0.0)
+            shadow = closest_hit(scene, hit.point, d_l, un[:, 2:])
+            # cosine-hemisphere BSDF pdf of the SAME direction (the
+            # reference lambertian's n + unit-sphere sample is exactly
+            # cosine-weighted) -> balance-heuristic weight
+            p_b = cos_l / PI
+            w_l = p_l / (p_l + p_b)
+            L = scene.background.sample(d_l)
+            albedo = tgather(scene.materials.albedo, mat_id)
+            nee = (
+                throughput * albedo * L
+                * (cos_l / PI / jnp.maximum(p_l, 1e-12) * w_l)[..., None]
+            )
+            take = diffuse & ~shadow.hit & (cos_l > 0.0)
+            radiance = radiance + jnp.where(take[..., None], nee, 0.0)
+
+            # pdf of the direction the BSDF actually sampled, for the NEXT
+            # bounce's miss weighting (0 = specular / no MIS)
+            ndn = vec.normalize(jax.lax.stop_gradient(new_dir))
+            cos_n = jnp.maximum(vec.dot(hit.normal, ndn), 0.0)
+            mis_pdf = jnp.where(diffuse, cos_n / PI, 0.0)
+            mis_pdf = jax.lax.stop_gradient(mis_pdf)
+
         throughput = jnp.where(cont[..., None], throughput * atten, throughput)
         o = jnp.where(cont[..., None], hit.point, o)
         d = jnp.where(cont[..., None], new_dir, d)
-        return (o, d, throughput, radiance, cont), None
+        return (o, d, throughput, radiance, cont, mis_pdf), None
 
     init = (
         o, d,
         jnp.ones_like(o),       # throughput
         jnp.zeros_like(o),      # radiance
         jnp.ones(o.shape[:-1], bool),  # alive
+        jnp.zeros(o.shape[:-1]),       # mis_pdf (0 = no MIS for primaries)
     )
     # Unrolling the bounce chain lets XLA fuse across bounces instead of
     # materializing the full wavefront carry (~100 MB at 2M rays) in HBM per
@@ -158,11 +223,12 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
         carry = init
         for b in range(settings.max_ray_depth):
             carry, _ = body(carry, b)
-        (o, d, throughput, radiance, alive) = carry
+        radiance = carry[3]
     else:
-        (o, d, throughput, radiance, alive), _ = jax.lax.scan(
+        carry, _ = jax.lax.scan(
             body, init, jnp.arange(settings.max_ray_depth)
         )
+        radiance = carry[3]
     # rays still alive after max_ray_depth bounces contribute black
     # (lib/core/render.rs:34-36)
     return radiance
