@@ -81,12 +81,16 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
     target = jnp.asarray(target)
 
     # Resolve "auto" HERE (scene is concrete): under jax.grad only the
-    # differentiable engines qualify — the packet-traversal BVH kernel is
-    # forward-only, so big scenes differentiate via the XLA path.
+    # differentiable engine qualifies — the packet-traversal BVH kernel and
+    # the skymap miss-record path are forward-only, so those scenes
+    # differentiate via the XLA path (supports(), not supports_fwd()).
     if engine == "auto":
-        from ..render.render import use_pallas
+        import jax as _jax
 
-        engine = "pallas" if use_pallas(scene, "auto") else "xla"
+        from ..ops.pallas_megakernel import supports
+
+        on_tpu = _jax.devices()[0].platform != "cpu"
+        engine = "pallas" if (supports(scene) and on_tpu) else "xla"
 
     def loss(params: dict, key=None):
         s = apply_params(scene, params)

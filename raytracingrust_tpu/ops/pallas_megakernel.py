@@ -75,7 +75,7 @@ MAX_TRIS = 8192  # covers every shipped OBJ except cool_cube (~28k tris)
 
 
 def supports(scene: Scene) -> bool:
-    """Static capability check for this kernel."""
+    """Static capability check for the DIFFERENTIABLE brute-force kernel."""
     return (
         len(scene.triangles) <= MAX_TRIS
         and 0 < (len(scene.spheres) + len(scene.triangles))
@@ -84,6 +84,27 @@ def supports(scene: Scene) -> bool:
         and not scene.materials.has_mix
         and M.ISOTROPIC not in scene.materials.kinds_present
         and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and scene.settings.mode in (MODE_FULL, MODE_CLAY)
+    )
+
+
+def supports_fwd(scene: Scene) -> bool:
+    """Forward-only brute-kernel envelope: adds SKYMAP backgrounds.
+
+    A per-lane texture gather is not expressible on TPU lanes, so the
+    kernel RECORDS each ray's (miss direction, throughput) — a path misses
+    at most once — and the driver adds ``throughput * sky(dir)`` with one
+    batched XLA gather afterward.  No AD rule on this path (the
+    differentiable custom_vjp pair doesn't carry the miss outputs);
+    diff/grad.py routes skymap scenes to the XLA engine."""
+    return supports(scene) or (
+        scene.background.kind == B.SKYMAP
+        and len(scene.triangles) <= MAX_TRIS
+        and 0 < (len(scene.spheres) + len(scene.triangles))
+        and len(scene.spheres) <= MAX_UNROLLED_SPHERES
+        and scene.spheres.num_volumes == 0
+        and not scene.materials.has_mix
+        and M.ISOTROPIC not in scene.materials.kinds_present
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
 
@@ -351,7 +372,7 @@ def supports_bvh(scene: Scene) -> bool:
         and scene.spheres.num_volumes == 0
         and not scene.materials.has_mix
         and M.ISOTROPIC not in scene.materials.kinds_present
-        and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
 
@@ -659,8 +680,12 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     chunk-leaf packet traversal (forward-only; mutually exclusive with the
     brute-force ``tri``/unrolled-sphere path).  ``tri_kinds`` then carries
     the kinds present among ALL primitives (for lobe compilation).
-    Returns (rad_r, rad_g, rad_b).
+    Returns (rad_r, rad_g, rad_b); with ``bg_kind == SKYMAP`` additionally
+    (mdx, mdy, mdz, mt_r, mt_g, mt_b) — the MISS direction and throughput
+    recorded when each path escaped (zeros if it never did), for the
+    driver's batched equirect lookup outside the kernel.
     """
+    skymap = bg_kind == B.SKYMAP
     present = set(sphere_kinds) | set(tri_kinds)
     lam = M.LAMBERTIAN in present
     met = M.METAL in present
@@ -701,15 +726,28 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    is_lam, is_met, is_die, is_emi,
                    alive, u1, u2, u_coin,
                    ox, oy, oz, dx, dy, dz,
-                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b):
+                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, miss):
             """Shared bounce tail: background on miss, front-face flip,
-            material lobes, throughput/radiance update -> next state."""
-            # background on miss (lib/core/render.rs:57)
-            bg_r, bg_g, bg_b = background(dx, dy, dz)
+            material lobes, throughput/radiance update -> next state.
+            ``miss``: () or the 6 skymap miss-record registers."""
             missed = alive & ~hit
-            rad_r = rad_r + jnp.where(missed, thr_r * bg_r, 0.0)
-            rad_g = rad_g + jnp.where(missed, thr_g * bg_g, 0.0)
-            rad_b = rad_b + jnp.where(missed, thr_b * bg_b, 0.0)
+            if skymap:
+                # record the escape (a path misses at most once); the
+                # equirect texel fetch happens OUTSIDE the kernel
+                mdx, mdy, mdz, mt_r, mt_g, mt_b = miss
+                mdx = jnp.where(missed, dx, mdx)
+                mdy = jnp.where(missed, dy, mdy)
+                mdz = jnp.where(missed, dz, mdz)
+                mt_r = jnp.where(missed, thr_r, mt_r)
+                mt_g = jnp.where(missed, thr_g, mt_g)
+                mt_b = jnp.where(missed, thr_b, mt_b)
+                miss = (mdx, mdy, mdz, mt_r, mt_g, mt_b)
+            else:
+                # background on miss (lib/core/render.rs:57)
+                bg_r, bg_g, bg_b = background(dx, dy, dz)
+                rad_r = rad_r + jnp.where(missed, thr_r * bg_r, 0.0)
+                rad_g = rad_g + jnp.where(missed, thr_g * bg_g, 0.0)
+                rad_b = rad_b + jnp.where(missed, thr_b * bg_b, 0.0)
 
             front = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = jnp.where(front, 1.0, -1.0)
@@ -833,7 +871,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             dz = jnp.where(cont, ndz, dz)
             alive_f = jnp.where(cont, 1.0, 0.0)
             return (b + 1, ox, oy, oz, dx, dy, dz,
-                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f)
+                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                    *miss, alive_f)
 
         # Bounce chain as a while_loop with an ALL-DEAD EARLY-OUT: blocks are
         # spatially coherent (consecutive pixels), so sky-only blocks finish
@@ -842,7 +881,9 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         # the carry as f32 (Mosaic dislikes i1 loop state).
         def bounce_body(state):
             (b, ox, oy, oz, dx, dy, dz,
-             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, alive_f) = state
+             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+             *miss, alive_f) = state
+            miss = tuple(miss)
             alive = alive_f > 0.0
             # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin)
             u1, u2, u_coin = _stream_uniforms(k0, k1, ray_u32, 1 + b, 3)
@@ -915,7 +956,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                               is_lam, is_met, is_die, is_emi,
                               alive, u1, u2, u_coin,
                               ox, oy, oz, dx, dy, dz,
-                              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b)
+                              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                              miss)
 
             # ---- intersect: unrolled sphere loop, direct quadratic form
             t_best = jnp.full_like(dx, jnp.inf)
@@ -1022,14 +1064,16 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                           is_lam, is_met, is_die, is_emi,
                           alive, u1, u2, u_coin,
                           ox, oy, oz, dx, dy, dz,
-                          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b)
+                          thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                          miss)
 
         def bounce_cond(state):
             b, *_, alive_f = state
             return (b < max_depth) & (jnp.max(alive_f) > 0.0)
 
+        miss0 = (zero,) * 6 if skymap else ()
         state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
-                 one, one, one, zero, zero, zero, one)
+                 one, one, one, zero, zero, zero, *miss0, one)
         if unrolled or os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
             # static chain: required under vjp; also the perf-ablation knob
             # (measured equal on benchmark.json — docs/performance.md)
@@ -1037,6 +1081,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 state = bounce_body(state)
         else:
             state = jax.lax.while_loop(bounce_cond, bounce_body, state)
+        if skymap:
+            return tuple(state[10:19])
         return state[10], state[11], state[12]
 
 
@@ -1046,14 +1092,18 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     one per sphere; fparams rides scalar-prefetch SMEM; triangle constant
     matrices (when the scene has triangles) ride VMEM."""
 
+    n_out = 9 if bg_kind == B.SKYMAP else 3
+
     def kernel(iparams, fparams, *refs):
         if tri_tb:
-            tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref, \
-                out_r, out_g, out_b = refs
+            tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref = refs[:5]
+            outs = refs[5:]
             tri = (tri_c_ref[...], tri_s_ref[...], tri_tb)
         else:
-            ray_id_ref, px_ref, py_ref, out_r, out_g, out_b = refs
+            ray_id_ref, px_ref, py_ref = refs[:3]
+            outs = refs[3:]
             tri = None
+        assert len(outs) == n_out
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
         ray_id = ray_id_ref[...]
@@ -1061,15 +1111,14 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
         k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
 
-        rad_r, rad_g, rad_b = _radiance_math(
+        vals = _radiance_math(
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=n_spheres, max_depth=max_depth,
             sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
             unrolled=False, tri=tri, tri_kinds=tri_kinds,
         )
-        out_r[...] = rad_r
-        out_g[...] = rad_g
-        out_b[...] = rad_b
+        for ref, val in zip(outs, vals):
+            ref[...] = val
 
     return kernel
 
@@ -1265,6 +1314,69 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     return radiance
 
 
+@functools.lru_cache(maxsize=32)
+def _fwd_skymap_call(n_spheres, max_depth, sphere_kinds, clay, rows,
+                     interpret, n_tris=0, tri_tb=0, tri_kinds=()):
+    """Plain (no custom_vjp) pallas_call for the SKYMAP brute config: the
+    kernel returns radiance + the per-ray miss record (9 outputs); AD
+    attempts fail loudly at pallas_call instead of silently dropping the
+    env term (diff paths use the XLA engine for skymap scenes)."""
+    shape2d = (rows, BLOCK_COLS)
+    grid = rows // BLOCK_ROWS
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+
+    t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
+    tri_in_specs = []
+    if n_tris:
+        tri_in_specs = [
+            pl.BlockSpec((16, 4 * t_pad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, B.SKYMAP,
+                          clay, tri_kinds, tri_tb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=tri_in_specs + [block, block, block],
+        out_specs=[block] * 9,
+    )
+
+    def run(iparams, fparams, tri_ops, ray_ids, px, py):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[out] * 9,
+            interpret=interpret,
+        )(iparams, fparams, *tri_ops, ray_ids, px, py)
+
+    return run
+
+
+def _env_finish(scene: Scene, outs, n_rays: int):
+    """Combine kernel outputs with the batched equirect lookup ->
+    (n_rays, 3) radiance.  ``outs`` = 9 (rows, 256) blocks: rgb radiance +
+    miss direction + miss throughput."""
+    (rad_r, rad_g, rad_b, mdx, mdy, mdz,
+     mt_r, mt_g, mt_b) = (o.reshape(-1)[:n_rays] for o in outs)
+    rad = jnp.stack([rad_r, rad_g, rad_b], axis=-1)
+    d = jnp.stack([mdx, mdy, mdz], axis=-1)
+    thr = jnp.stack([mt_r, mt_g, mt_b], axis=-1)
+    # rays that never escaped keep the zero init; a real direction is never
+    # the zero vector
+    escaped = jnp.any(d != 0.0, axis=-1)
+    safe_d = jnp.where(escaped[:, None], d,
+                       jnp.array([0.0, 1.0, 0.0], jnp.float32))
+    env = scene.background.sample(safe_d) * thr
+    return rad + jnp.where(escaped[:, None], env, 0.0)
+
+
 def _pack_fparams(scene: Scene, width: int, height: int,
                   with_spheres: bool = True):
     """Runtime scene constants -> (K,) f32 (traced; no host sync).
@@ -1313,15 +1425,25 @@ def seed_words(seed: int):
     )
 
 
-def _prep_rays(pixel_ids, spp: int, width: int):
-    """(pixel, sample) fan-out -> (ray_ids, px, py) as (rows, 256) blocks."""
-    p = pixel_ids.shape[0]
-    n_rays = p * spp
+def _prep_rays(pixel_ids, spp: int, width: int, sample_offset=0,
+               n_samples: int | None = None):
+    """(pixel, sample) fan-out -> (ray_ids, px, py) as (rows, 256) blocks.
 
+    ``sample_offset``/``n_samples`` select a slice of each pixel's sample
+    range (spp sharding: parallel/distributed.py); ray ids stay GLOBAL
+    (pixel * spp + global sample index) so any decomposition consumes the
+    same uniforms.  ``sample_offset`` may be traced (axis_index inside
+    shard_map)."""
+    if n_samples is None:
+        n_samples = spp
+    p = pixel_ids.shape[0]
+    n_rays = p * n_samples
+
+    sample_ids = sample_offset + jnp.arange(n_samples, dtype=jnp.int32)
     ray_ids = (
-        pixel_ids[:, None] * spp + jnp.arange(spp, dtype=jnp.int32)[None, :]
+        pixel_ids[:, None] * spp + sample_ids[None, :]
     ).reshape(-1)
-    pid = jnp.repeat(pixel_ids, spp)
+    pid = jnp.repeat(pixel_ids, n_samples)
     px = (pid % width).astype(jnp.float32)
     py = (pid // width).astype(jnp.float32)
 
@@ -1341,7 +1463,8 @@ def _prep_rays(pixel_ids, spp: int, width: int):
 def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
                           iparams, *, sphere_kinds: tuple | None = None,
                           tri_kinds: tuple | None = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          sample_offset=0, n_samples: int | None = None):
     """Mean clamped radiance per pixel -> (P, 3), via the megakernel.
 
     Drop-in twin of render.pixel_radiance for supported scenes.  ``iparams``
@@ -1350,6 +1473,9 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
     :func:`_sphere_kinds`) and ``tri_kinds`` (static tuple of kinds present
     among triangle materials) must be supplied when the scene is traced.
     ``interpret`` runs the kernel in the Pallas interpreter (CPU tests).
+    ``sample_offset``/``n_samples`` restrict to a sample slice (spp
+    sharding) — the returned mean is over that LOCAL slice; the caller
+    psums across the spp mesh axis.
     """
     if sphere_kinds is None:
         sphere_kinds = _sphere_kinds(scene)
@@ -1357,39 +1483,50 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
         tri_kinds = _tri_kinds(scene)
     spp = scene.settings.samples_per_pixel
     p = pixel_ids.shape[0]
-    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width)
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width,
+                                               sample_offset, n_samples)
+    n_local = n_samples if n_samples is not None else spp
 
     fparams = _pack_fparams(scene, width, height)
-
-    # Differentiable: gradients w.r.t. scene parameters flow through
-    # _pack_fparams / _pack_tri (plain jnp) into the custom_vjp, whose
-    # backward is the fused Pallas forward-replay+vjp kernel.
     n_tris = len(scene.triangles)
     tri_tb = _tri_sizes(n_tris)[0] if n_tris else 0
-    radiance_fn = _radiance_cvjp(
-        len(scene.spheres),
-        scene.settings.max_ray_depth,
-        sphere_kinds,
-        scene.background.kind,
-        scene.settings.mode == MODE_CLAY,
-        rows,
-        interpret,
-        n_tris=n_tris,
-        tri_tb=tri_tb,
-        tri_kinds=tri_kinds if n_tris else (),
-    )
-    if n_tris:
-        tri_c, tri_s = _pack_tri(scene, tri_tb)
-        rad_r, rad_g, rad_b = radiance_fn(fparams, tri_c, tri_s, iparams,
-                                          ray_ids, px, py)
-    else:
-        rad_r, rad_g, rad_b = radiance_fn(fparams, iparams, ray_ids, px, py)
+    tri_ops = tuple(_pack_tri(scene, tri_tb)) if n_tris else ()
 
-    radiance = jnp.stack(
-        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
-    )[:n_rays]
+    if scene.background.kind == B.SKYMAP:
+        # forward-only: the kernel records per-ray miss dir/throughput;
+        # the equirect texel fetch is one batched XLA gather afterwards
+        run = _fwd_skymap_call(
+            len(scene.spheres), scene.settings.max_ray_depth, sphere_kinds,
+            scene.settings.mode == MODE_CLAY, rows, interpret,
+            n_tris=n_tris, tri_tb=tri_tb,
+            tri_kinds=tri_kinds if n_tris else (),
+        )
+        outs = run(iparams, fparams, tri_ops, ray_ids, px, py)
+        radiance = _env_finish(scene, outs, n_rays)
+    else:
+        # Differentiable: gradients w.r.t. scene parameters flow through
+        # _pack_fparams / _pack_tri (plain jnp) into the custom_vjp, whose
+        # backward is the fused Pallas forward-replay+vjp kernel.
+        radiance_fn = _radiance_cvjp(
+            len(scene.spheres),
+            scene.settings.max_ray_depth,
+            sphere_kinds,
+            scene.background.kind,
+            scene.settings.mode == MODE_CLAY,
+            rows,
+            interpret,
+            n_tris=n_tris,
+            tri_tb=tri_tb,
+            tri_kinds=tri_kinds if n_tris else (),
+        )
+        rad_r, rad_g, rad_b = radiance_fn(fparams, *tri_ops, iparams,
+                                          ray_ids, px, py)
+        radiance = jnp.stack(
+            [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)],
+            axis=-1,
+        )[:n_rays]
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
-    return radiance.reshape(p, spp, 3).mean(axis=1)
+    return radiance.reshape(p, n_local, 3).mean(axis=1)
 
 
 # ----------------------------------------------- BVH packet-traversal driver
@@ -1421,7 +1558,8 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
         if has_tri:
             tri_ = (tri_nodes[0], tri_nodes[1], k_tri, refs[0], refs[1])
             refs = refs[2:]
-        ray_id_ref, px_ref, py_ref, out_r, out_g, out_b = refs
+        ray_id_ref, px_ref, py_ref = refs[:3]
+        outs = refs[3:]
 
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
@@ -1430,15 +1568,14 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
         k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
         k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
 
-        rad_r, rad_g, rad_b = _radiance_math(
+        vals = _radiance_math(
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=0, max_depth=max_depth, sphere_kinds=(),
             bg_kind=bg_kind, clay=clay, unrolled=False,
             tri=None, tri_kinds=kinds, bvh={"sph": sph, "tri": tri_},
         )
-        out_r[...] = rad_r
-        out_g[...] = rad_g
-        out_b[...] = rad_b
+        for ref, val in zip(outs, vals):
+            ref[...] = val
 
     return kernel
 
@@ -1466,6 +1603,7 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
         in_specs += [full(n_tri_chunks * 16, BVH_LEAF),
                      full(n_tri_chunks * 16, BVH_LEAF)]
     in_specs += [block, block, block]
+    n_out = 9 if bg_kind == B.SKYMAP else 3
 
     kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1473,14 +1611,14 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
             n_tri_chunks),
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[block, block, block],
+        out_specs=[block] * n_out,
     )
 
     def run(iparams, fparams, scal, tens, ray_ids, px, py):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[out, out, out],
+            out_shape=[out] * n_out,
             interpret=interpret,
         )(iparams, fparams, *scal, *tens, ray_ids, px, py)
 
@@ -1518,10 +1656,15 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         scene.settings.mode == MODE_CLAY, rows, interpret,
         cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
     )
-    rad_r, rad_g, rad_b = run(iparams, fparams, scal, tens, ray_ids, px, py)
+    outs = run(iparams, fparams, scal, tens, ray_ids, px, py)
 
-    radiance = jnp.stack(
-        [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)], axis=-1
-    )[:n_rays]
+    if scene.background.kind == B.SKYMAP:
+        radiance = _env_finish(scene, outs, n_rays)
+    else:
+        rad_r, rad_g, rad_b = outs
+        radiance = jnp.stack(
+            [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)],
+            axis=-1,
+        )[:n_rays]
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
     return radiance.reshape(p, spp, 3).mean(axis=1)

@@ -76,14 +76,22 @@ def make_mesh_2d(n_ray_shards: int, n_spp_shards: int,
 
 
 def render_spp_sharded(scene: Scene, width: int, height: int, *,
-                       mesh: Mesh, seed: int = 0) -> np.ndarray:
+                       mesh: Mesh, seed: int = 0,
+                       engine: str = "auto") -> np.ndarray:
     """Render with BOTH pixels and samples sharded -> (H, W, 3) f32.
 
     Inside shard_map each device traces its (pixel tile x sample slice)
     block; the spp mean is `psum / spp` over the "spp" mesh axis — an ICI
     all-reduce, the collective the reference's rayon pool never needed
     (SURVEY.md 2.6 "Communication backend").
+
+    Engine-aware like :func:`..parallel.sharding.render_linear_sharded`:
+    on TPU each shard runs the Pallas megakernel over its sample slice
+    (global ray ids keep the RNG decomposition-invariant), so the 2-D
+    decomposition scales the fast kernel, not the XLA fallback.
     """
+    from ..render.render import use_pallas
+
     n_ray = mesh.shape[RAY_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
     spp = scene.settings.samples_per_pixel
@@ -100,6 +108,40 @@ def render_spp_sharded(scene: Scene, width: int, height: int, *,
     pixel_ids = jax.device_put(
         pixel_ids, NamedSharding(mesh, P(RAY_AXIS))
     )
+
+    if use_pallas(scene, engine):
+        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
+                                             pixel_radiance_pallas,
+                                             seed_words)
+
+        skinds = _sphere_kinds(scene)
+        tkinds = _tri_kinds(scene)
+        interpret = jax.devices()[0].platform == "cpu"
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAY_AXIS), P()),
+            out_specs=P(RAY_AXIS),
+            # pallas_call's out ShapeDtypeStructs carry no vma annotation;
+            # skip the varying-across-mesh check (the psum below is the
+            # only cross-shard dataflow and is explicit)
+            check_vma=False,
+        )
+        def shard_fn(scene, ids, iparams):
+            s0 = jax.lax.axis_index(SPP_AXIS) * spp_local
+            # local mean over spp_local samples; equal slice sizes make
+            # psum(local_mean) / n_spp the global sample mean
+            rad = pixel_radiance_pallas(
+                scene, ids, width, height, iparams,
+                sphere_kinds=skinds, tri_kinds=tkinds, interpret=interpret,
+                sample_offset=s0, n_samples=spp_local,
+            )
+            return jax.lax.psum(rad, SPP_AXIS) / n_spp
+
+        out = jax.jit(shard_fn)(scene, pixel_ids, seed_words(seed))
+        return np.asarray(out)[:n_pixels].reshape(height, width, 3)
+
     key = rng.base_key(seed)
 
     @partial(

@@ -77,17 +77,21 @@ def render_linear_sharded(scene: Scene, width: int, height: int, *,
     if use_pallas(scene, engine):
         from ..ops.pallas_megakernel import (
             _sphere_kinds,
+            _tri_kinds,
             pixel_radiance_pallas,
             seed_words,
         )
 
+        # kinds must be computed from the CONCRETE scene here — inside
+        # shard_map the scene leaves are traced
         kinds = _sphere_kinds(scene)
+        tkinds = _tri_kinds(scene)
         interpret = jax.devices()[0].platform == "cpu"
 
         def per_shard(scene, ids, iparams):
             return pixel_radiance_pallas(
                 scene, ids, width, height, iparams,
-                sphere_kinds=kinds, interpret=interpret,
+                sphere_kinds=kinds, tri_kinds=tkinds, interpret=interpret,
             )
 
         fn = jax.jit(jax.shard_map(

@@ -140,11 +140,11 @@ def select_engine(scene: Scene, engine: str) -> str:
     """
     if engine != "auto":
         return engine
-    from ..ops.pallas_megakernel import supports, supports_bvh
+    from ..ops.pallas_megakernel import supports_bvh, supports_fwd
 
     if jax.devices()[0].platform == "cpu":
         return "xla"
-    if supports(scene):
+    if supports_fwd(scene):
         return "pallas"
     if supports_bvh(scene):
         return "pallas_bvh"

@@ -60,6 +60,9 @@ def _settings_schema() -> list[dict]:
         {"path": "settings.enable_multithreading",
          "label": "Enable multithreading (schema parity; TPU is always "
                   "data-parallel)", "widget": "checkbox"},
+        {"path": "settings.env_importance_sampling",
+         "label": "Env importance sampling (MIS vs the HDRI sky; "
+                  "beyond-reference)", "widget": "checkbox"},
     ]
 
 
@@ -164,6 +167,7 @@ def editable_values(builder: SceneBuilder) -> dict[str, Any]:
         "settings.mode": s.mode,
         "settings.enable_bvh_tree": bool(s.enable_bvh_tree),
         "settings.enable_multithreading": bool(s.enable_multithreading),
+        "settings.env_importance_sampling": bool(s.env_importance_sampling),
         "camera.lookfrom": _f3(cam.lookfrom),
         "camera.lookat": _f3(cam.lookat),
         "camera.vertical": _f3(cam.vertical),

@@ -44,6 +44,21 @@ def test_spp_sharded_matches_single(shape):
     np.testing.assert_allclose(out, ref, atol=2e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_spp_sharded_pallas_engine(shape):
+    """Engine-aware 2-D decomposition (VERDICT r1 item 6): the Pallas
+    megakernel runs per shard over its sample slice inside shard_map
+    (interpret mode here); global ray ids keep the RNG decomposition-
+    invariant, so the psum'd mean must match the single-device KERNEL
+    render up to partial-sum association order."""
+    s = scene()
+    mesh = dist.make_mesh_2d(*shape)
+    out = dist.render_spp_sharded(s, 16, 8, mesh=mesh, seed=3,
+                                  engine="pallas")
+    ref = np.asarray(render_linear(s, 16, 8, seed=3, engine="pallas"))
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
 def test_spp_not_divisible_raises():
     s = scene()  # spp=8
     mesh = dist.make_mesh_2d(2, 3, devices=jax.devices()[:6])

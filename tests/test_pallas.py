@@ -229,6 +229,28 @@ def test_pallas_value_and_grad_consistent():
     np.testing.assert_allclose(float(v_plain), float(v_vjp), rtol=1e-6)
 
 
+def test_pallas_skymap_background():
+    """SKYMAP scenes run the forward-only miss-record path: the kernel
+    returns (radiance, miss dir, miss throughput) and the driver adds
+    throughput * sky(dir) with one batched XLA gather.  Must agree with
+    the XLA engine like the other backgrounds."""
+    rs = np.random.RandomState(5)
+    img = (0.2 + rs.rand(8, 16, 3) ** 2).astype(np.float32)
+    img[1, 3] = (9.0, 7.0, 5.0)  # bright sun texel
+    b = benchmark_like_builder(bg=Background.skymap_from_array(img))
+    scene = b.build(with_bvh=False)
+    assert PK.supports_fwd(scene) and not PK.supports(scene)
+    xla = np.asarray(render_linear(scene, 24, 20, seed=0, engine="xla"))
+    pal = np.asarray(render_linear(scene, 24, 20, seed=0, engine="pallas"))
+    # most channels are EXACTLY equal; the rest are isolated borderline-hit
+    # flips whose magnitude the bright sun texel amplifies (cf. the 0.12
+    # clay tolerance)
+    assert (xla == pal).mean() > 0.9
+    mismatched = (~np.isclose(xla, pal, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
+    assert np.abs(xla - pal).mean() < 4e-2
+
+
 def test_make_loss_fit_path_via_pallas():
     """The PRODUCT fit path (diff.grad.make_loss) must route through the
     Pallas custom_vjp when asked and reproduce the XLA gradients, including

@@ -130,11 +130,14 @@ def test_supports_bvh_gate():
     vi = b.add_sphere((0, 4, 0), 0.5, iso)
     b.add_volume(vi, 2.0)
     assert not PK.supports_bvh(b.build(with_bvh=True))
-    # skymap background excluded (equirect lookup is XLA-only for now)
+    # skymap background SUPPORTED (miss-record path); Normal mode is not
     b2 = grid_builder(n=3)
     img = np.ones((4, 8, 3), np.float32)
     b2.background = Background.skymap_from_array(img)
-    assert not PK.supports_bvh(b2.build(with_bvh=True))
+    assert PK.supports_bvh(b2.build(with_bvh=True))
+    b3 = grid_builder(n=3)
+    b3.settings = RenderSettings(mode="Normal")
+    assert not PK.supports_bvh(b3.build(with_bvh=True))
 
 
 # ------------------------------------------- equivalence vs the brute kernel
@@ -231,6 +234,54 @@ def test_bvh_kernel_clay_mode():
     scene = b.build(with_bvh=True)
     assert PK.supports_bvh(scene)
     assert_matches_xla(scene, frac=0.08)
+
+
+def test_bvh_kernel_skymap_demo_scene_class():
+    """The reference's hard-coded demo scene class (src/gui.rs:56-119:
+    house.obj + plane.obj + SkyMap HDRI) — meshes over the brute kernel's
+    cap AND an environment map, through the BVH kernel's miss-record path.
+    (The shipped .exr assets are stripped from the mount, so a synthetic
+    sky array stands in.)"""
+    from raytracingrust_tpu import Background
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    rs = np.random.RandomState(2)
+    sky = (0.1 + 0.5 * rs.rand(8, 16, 3)).astype(np.float32)
+    sky[0:2, 4:6] = (6.0, 5.0, 4.0)
+
+    b = mesh_builder(n_side=10, depth=3)
+    b.background = Background.skymap_from_array(sky)
+    scene = b.build(with_bvh=True)
+    assert PK.supports_bvh(scene)
+    assert_matches_xla(scene, w=20, h=20, frac=0.05)
+
+
+def test_bvh_kernel_house_scene_supported():
+    """supports_bvh accepts the actual reference demo geometry when the
+    assets are present (9,153 + 2 tris > the brute kernel's 8,192 cap)."""
+    import os
+
+    from raytracingrust_tpu import Background
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    house = "/root/reference/assets/house.obj"
+    plane = "/root/reference/assets/plane.obj"
+    if not (os.path.exists(house) and os.path.exists(plane)):
+        pytest.skip("reference assets not available")
+    b = SceneBuilder()
+    b.camera = Camera.create((8, 6, 10), (0, 1, 0), (0, 1, 0), 45.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=1, max_ray_depth=2)
+    b.background = Background.skymap_from_array(
+        np.full((4, 8, 3), 0.6, np.float32))
+    m = b.add_material(Lambertian((0.7, 0.6, 0.5)))
+    b.add_mesh(Mesh.from_file(house, m))
+    b.add_mesh(Mesh.from_file(plane, m))
+    scene = b.build(with_bvh=True)
+    assert not PK.supports_fwd(scene)  # over the brute cap
+    assert PK.supports_bvh(scene)
+    img = np.asarray(render_linear(scene, 12, 10, seed=0,
+                                   engine="pallas_bvh"))
+    assert np.isfinite(img).all() and img.mean() > 0
 
 
 def test_bvh_kernel_gradient_background():
