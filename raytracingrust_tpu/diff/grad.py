@@ -88,9 +88,16 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
         import jax as _jax
 
         from ..ops.pallas_megakernel import supports
+        from ..render.render import TPU_MAX_BRUTE_TRIS
 
+        # The fused grad kernel's VMEM envelope is tighter than supports():
+        # triangle-chunk matmul residuals are retained per bounce under
+        # jax.vjp, and already the FORWARD kernel measured over the scoped-
+        # VMEM limit at 4,096 tris (render.py:TPU_MAX_BRUTE_TRIS).  Bigger
+        # triangle fits keep the XLA reverse path.
         on_tpu = _jax.devices()[0].platform != "cpu"
-        engine = "pallas" if (supports(scene) and on_tpu) else "xla"
+        fits = supports(scene) and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS
+        engine = "pallas" if (fits and on_tpu) else "xla"
 
     def loss(params: dict, key=None):
         s = apply_params(scene, params)

@@ -64,6 +64,16 @@ _INV_W = 18         # 1 / (width - 1)
 _INV_H = 19         # 1 / (height - 1)
 _SPHERES = 20       # per sphere: cx cy cz r  al_r al_g al_b  fuzz ir
 _SPHERE_STRIDE = 12  # em_r em_g em_b
+# Mix scenes extend the per-sphere record with the SECOND resolved leaf +
+# the mix coin threshold: factor  al2(3) fuzz2 ir2 em2(3)  (stride 21).
+# Leaf A rides the base slots (mix_first == self for non-mix rows, so the
+# packing is uniform; models/materials.py build_table).  Volume scenes
+# append one more slot: neg_inv_density (0.0 for solid spheres).
+_SPHERE_STRIDE_MIX = 21
+
+
+def _sphere_stride(mix: bool, vol: bool = False) -> int:
+    return (_SPHERE_STRIDE_MIX if mix else _SPHERE_STRIDE) + int(vol)
 
 MAX_UNROLLED_SPHERES = 128  # covers scenes/simple.json (102 spheres)
 
@@ -74,15 +84,36 @@ TRI_BLOCK = 512
 MAX_TRIS = 8192  # covers every shipped OBJ except cool_cube (~28k tris)
 
 
+def _mix_in_kernel_ok(scene: Scene) -> bool:
+    """Mix materials the kernels can shade: SINGLE-LEVEL mixes only.
+
+    A single-level mix resolves with ONE coin against two concrete leaves,
+    which the kernel bakes as a second per-primitive parameter set (the
+    reference's stochastic blend, lib/materials.rs:149-156).  Mix-of-mix
+    would need per-lane table gathers — those scenes keep the XLA engine
+    (resolve_mix's masked-lookup chain, ops/shade.py:47-67)."""
+    mats = scene.materials
+    if not mats.has_mix:
+        return True
+    kind = np.asarray(mats.kind)
+    mix_rows = kind == M.MIX
+    child_a = np.asarray(mats.mix_first)[mix_rows]
+    child_b = np.asarray(mats.mix_second)[mix_rows]
+    return (kind[child_a] != M.MIX).all() and (kind[child_b] != M.MIX).all()
+
+
 def supports(scene: Scene) -> bool:
-    """Static capability check for the DIFFERENTIABLE brute-force kernel."""
+    """Static capability check for the DIFFERENTIABLE brute-force kernel.
+
+    Constant-density volumes (lib/volume.rs) ARE supported: the unrolled
+    sphere loop indexes each volume's free-flight uniform column statically
+    (volumes sort last in the sphere SoA), so no per-lane gather is needed.
+    """
     return (
         len(scene.triangles) <= MAX_TRIS
         and 0 < (len(scene.spheres) + len(scene.triangles))
         and len(scene.spheres) <= MAX_UNROLLED_SPHERES
-        and scene.spheres.num_volumes == 0
-        and not scene.materials.has_mix
-        and M.ISOTROPIC not in scene.materials.kinds_present
+        and _mix_in_kernel_ok(scene)
         and scene.background.kind in (B.UNIFORM, B.GRADIENT)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
@@ -102,9 +133,7 @@ def supports_fwd(scene: Scene) -> bool:
         and len(scene.triangles) <= MAX_TRIS
         and 0 < (len(scene.spheres) + len(scene.triangles))
         and len(scene.spheres) <= MAX_UNROLLED_SPHERES
-        and scene.spheres.num_volumes == 0
-        and not scene.materials.has_mix
-        and M.ISOTROPIC not in scene.materials.kinds_present
+        and _mix_in_kernel_ok(scene)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
 
@@ -155,10 +184,25 @@ _TS_AL = 3     # rows 3-5: albedo
 _TS_FUZZ = 6
 _TS_IR = 7
 _TS_EM = 8     # rows 8-10: emission (premultiplied color*strength)
-_TS_LAM = 11   # rows 11-14: material-kind one-hot
+_TS_LAM = 11   # rows 11-15: material-kind one-hot
 _TS_MET = 12
 _TS_DIE = 13
 _TS_EMI = 14
+_TS_ISO = 15
+
+# S2-matrix row layout (mix scenes only): the SECOND resolved mix leaf +
+# the mix coin threshold, one-hot matmul-gathered alongside S so the shade
+# stage can blend the two leaves per ray with the bounce's mix coin.
+_T2_FAC = 0
+_T2_AL = 1     # rows 1-3
+_T2_FUZZ = 4
+_T2_IR = 5
+_T2_EM = 6     # rows 6-8
+_T2_LAM = 9    # rows 9-13: leaf-B kind one-hot
+_T2_MET = 10
+_T2_DIE = 11
+_T2_EMI = 12
+_T2_ISO = 13
 
 
 def _tri_sizes(n_tris: int) -> tuple[int, int]:
@@ -168,15 +212,19 @@ def _tri_sizes(n_tris: int) -> tuple[int, int]:
     return tb, t_pad
 
 
-def _pack_tri(scene: Scene, tb: int):
-    """Scene triangles -> (C, S) constant matrices (traced jnp; building
-    them from the scene pytree keeps material/geometry grads flowing).
+def _pack_tri(scene: Scene, tb: int, mix: bool = False):
+    """Scene triangles -> (C, S[, S2]) constant matrices (traced jnp;
+    building them from the scene pytree keeps material/geometry grads
+    flowing).
 
     C: (16, 4*T_pad) f32.  Lane group c*4TB..(c+1)*4TB holds chunk c's
     [a | num_u | num_v | num_t] coefficient sections (TB lanes each), rows
     indexed by the ray feature vector [d, w, o, 1, 0...].  Padding triangles
     are all-zero -> a == 0 -> rejected by the determinant epsilon.
-    S: (16, T_pad) f32 shading constants (_TS_* row layout).
+    S: (16, T_pad) f32 shading constants (_TS_* row layout); with ``mix``
+    its material rows hold the FIRST resolved mix leaf (mix_first == self
+    for non-mix rows) and S2 (16, T_pad) carries the second leaf + factor
+    (_T2_* row layout).
     """
     tris = scene.triangles
     t = tris.v0.shape[0]
@@ -213,11 +261,13 @@ def _pack_tri(scene: Scene, tb: int):
 
     mats = scene.materials
     mid = tris.material
-    al = mats.albedo[mid]
-    fz = mats.fuzz[mid]
-    ir = mats.ir[mid]
-    em = mats.emission[mid]
-    kind = mats.kind[mid]
+    # leaf A = mix_first (self for non-mix rows); identity when mix-free
+    mid_a = mats.mix_first[mid] if mix else mid
+    al = mats.albedo[mid_a]
+    fz = mats.fuzz[mid_a]
+    ir = mats.ir[mid_a]
+    em = mats.emission[mid_a]
+    kind = mats.kind[mid_a]
     s_mat = rows16(
         tris.normal[:, 0], tris.normal[:, 1], tris.normal[:, 2],
         al[:, 0], al[:, 1], al[:, 2], fz, ir,
@@ -226,23 +276,53 @@ def _pack_tri(scene: Scene, tb: int):
         (kind == M.METAL).astype(f32),
         (kind == M.DIELECTRIC).astype(f32),
         (kind == M.EMISSION).astype(f32),
+        (kind == M.ISOTROPIC).astype(f32),
     )
     if pad:
         s_mat = jnp.pad(s_mat, ((0, 0), (0, pad)))
-    return c_mat, s_mat
+    if not mix:
+        return c_mat, s_mat
+    mid_b = mats.mix_second[mid]
+    al2 = mats.albedo[mid_b]
+    kind2 = mats.kind[mid_b]
+    em2 = mats.emission[mid_b]
+    s2_mat = rows16(
+        mats.mix_factor[mid],
+        al2[:, 0], al2[:, 1], al2[:, 2],
+        mats.fuzz[mid_b], mats.ir[mid_b],
+        em2[:, 0], em2[:, 1], em2[:, 2],
+        (kind2 == M.LAMBERTIAN).astype(f32),
+        (kind2 == M.METAL).astype(f32),
+        (kind2 == M.DIELECTRIC).astype(f32),
+        (kind2 == M.EMISSION).astype(f32),
+        (kind2 == M.ISOTROPIC).astype(f32),
+    )
+    if pad:
+        s2_mat = jnp.pad(s2_mat, ((0, 0), (0, pad)))
+    return c_mat, s_mat, s2_mat
 
 
 def _tri_kinds(scene: Scene) -> tuple:
-    """Static sorted tuple of material-kind ids used by triangles."""
+    """Static sorted tuple of LEAF material-kind ids used by triangles
+    (single-level mixes resolve to their two children)."""
     kinds = np.asarray(scene.materials.kind)
-    mat = np.asarray(scene.triangles.material)
-    return tuple(sorted({int(kinds[m]) for m in mat}))
+    first = np.asarray(scene.materials.mix_first)
+    second = np.asarray(scene.materials.mix_second)
+    out = set()
+    for m in np.asarray(scene.triangles.material):
+        if kinds[m] == M.MIX:
+            out.add(int(kinds[first[m]]))
+            out.add(int(kinds[second[m]]))
+        else:
+            out.add(int(kinds[m]))
+    return tuple(sorted(out))
 
 
-def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
+def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz, tri_s2=None):
     """Closest triangle hit for the whole (8, 256) ray block.
 
-    -> (t_tri (8,256), params: list of 15 (8,256) arrays, _TS_* layout).
+    -> (t_tri (8,256), params: list of 16 (8,256) arrays, _TS_* layout,
+    params2: list of 14 (_T2_* layout) or None when ``tri_s2`` is None).
     All matmuls run at HIGHEST precision — bf16 passes lose hits to
     catastrophic cancellation in the determinant (utils/types.py note).
     """
@@ -258,7 +338,7 @@ def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
 
     ones = jnp.ones((1, cols), jnp.float32)
     zeros6 = jnp.zeros((6, cols), jnp.float32)
-    t_rows, par_rows = [], []
+    t_rows, par_rows, par2_rows = [], [], []
     for r in range(rows):
         def row(v, r=r):
             return v[r:r + 1, :]
@@ -269,6 +349,8 @@ def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
 
         t_best = jnp.full((1, cols), jnp.inf, jnp.float32)
         par = jnp.zeros((16, cols), jnp.float32)
+        par2 = jnp.zeros((16, cols), jnp.float32) if tri_s2 is not None \
+            else None
         iota = jax.lax.broadcasted_iota(jnp.int32, (tb, cols), 0)
         for c in range(chunks):
             c_chunk = tri_c[:, c * 4 * tb:(c + 1) * 4 * tb]  # (16, 4TB)
@@ -299,16 +381,31 @@ def _tri_intersect(tri_c, tri_s, tb, ox, oy, oz, dx, dy, dz):
                 precision=hi, preferred_element_type=jnp.float32,
             )                                                 # (16, 256)
             par = jnp.where(improved, p_chunk, par)
+            if par2 is not None:
+                s2_chunk = tri_s2[:, c * tb:(c + 1) * tb]
+                p2_chunk = jax.lax.dot_general(
+                    s2_chunk, onehot, (((1,), (0,)), ((), ())),
+                    precision=hi, preferred_element_type=jnp.float32,
+                )
+                par2 = jnp.where(improved, p2_chunk, par2)
             t_best = jnp.minimum(t_best, t_min)
         t_rows.append(t_best)
         par_rows.append(par)
+        if par2 is not None:
+            par2_rows.append(par2)
 
     t_tri = jnp.concatenate(t_rows, axis=0)                   # (8, 256)
     params = [
         jnp.concatenate([pr[j:j + 1] for pr in par_rows], axis=0)
-        for j in range(15)
+        for j in range(16)
     ]
-    return t_tri, params
+    if tri_s2 is None:
+        return t_tri, params, None
+    params2 = [
+        jnp.concatenate([pr[j:j + 1] for pr in par2_rows], axis=0)
+        for j in range(14)
+    ]
+    return t_tri, params, params2
 
 
 # ------------------------------------------- chunk-leaf BVH (packet traversal)
@@ -370,8 +467,10 @@ def supports_bvh(scene: Scene) -> bool:
         and len(scene.spheres) <= MAX_BVH_SPHERES
         and len(scene.triangles) <= MAX_BVH_TRIS
         and scene.spheres.num_volumes == 0
+        # mix stays excluded here: the traversal carry has no room for a
+        # second 16-row leaf-parameter set (the brute kernel covers mixes
+        # up to its size limits; bigger mix scenes keep the XLA BVH path)
         and not scene.materials.has_mix
-        and M.ISOTROPIC not in scene.materials.kinds_present
         and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
@@ -665,7 +764,7 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
 
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
-                   tri=None, tri_kinds=(), bvh=None):
+                   tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -680,17 +779,28 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     chunk-leaf packet traversal (forward-only; mutually exclusive with the
     brute-force ``tri``/unrolled-sphere path).  ``tri_kinds`` then carries
     the kinds present among ALL primitives (for lobe compilation).
+    ``mix``: the scene table has (single-level) mix materials — per-bounce
+    uniform columns shift by MAX_MIX_DEPTH to stay stream-aligned with the
+    XLA engine (ops/shade.py:shade_uniforms) and every primitive carries
+    two baked leaf-parameter sets blended by the level-0 mix coin
+    (lib/materials.rs:149-156 semantics; nested mixes are gated out by
+    supports()).
     Returns (rad_r, rad_g, rad_b); with ``bg_kind == SKYMAP`` additionally
     (mdx, mdy, mdz, mt_r, mt_g, mt_b) — the MISS direction and throughput
     recorded when each path escaped (zeros if it never did), for the
     driver's batched equirect lookup outside the kernel.
     """
     skymap = bg_kind == B.SKYMAP
-    present = set(sphere_kinds) | set(tri_kinds)
+    present = _flat_kinds(sphere_kinds) | set(tri_kinds)
     lam = M.LAMBERTIAN in present
     met = M.METAL in present
     die = M.DIELECTRIC in present
     emi = M.EMISSION in present
+    iso = M.ISOTROPIC in present
+    stride = _sphere_stride(mix, n_vol > 0)
+    n_solid = n_spheres - n_vol
+    assert not ((mix or n_vol) and bvh is not None), \
+        "BVH kernel excludes mix/volume scenes"
 
     if True:  # keep the historical indentation of the kernel body
         ox_c, oy_c, oz_c = f(_CAM + 0), f(_CAM + 1), f(_CAM + 2)
@@ -723,8 +833,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
 
         def _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
                    al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
-                   is_lam, is_met, is_die, is_emi,
-                   alive, u1, u2, u_coin,
+                   is_lam, is_met, is_die, is_emi, is_iso,
+                   alive, u1, u2, u_coin, u_r,
                    ox, oy, oz, dx, dy, dz,
                    thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, miss):
             """Shared bounce tail: background on miss, front-face flip,
@@ -854,6 +964,20 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     at_b = jnp.where(is_emi, em_b, at_b)
                     scatters = scatters & ~is_emi
 
+                if iso:
+                    # Isotropic phase function (lib/volume.rs:75-88): new
+                    # dir = unit-sphere-VOLUME sample — the surface sample
+                    # scaled by cbrt01(u), the exp/log form shared with
+                    # ops/shade.py for bit-identical engine parity
+                    crt = jnp.exp(jnp.log(jnp.maximum(u_r, 1e-38))
+                                  * (1.0 / 3.0))
+                    at_r = jnp.where(is_iso, al_r, at_r)
+                    at_g = jnp.where(is_iso, al_g, at_g)
+                    at_b = jnp.where(is_iso, al_b, at_b)
+                    ndx = jnp.where(is_iso, sx * crt, ndx)
+                    ndy = jnp.where(is_iso, sy * crt, ndy)
+                    ndz = jnp.where(is_iso, sz * crt, ndz)
+
             terminal = alive & hit & ~scatters
             rad_r = rad_r + jnp.where(terminal, thr_r * at_r, 0.0)
             rad_g = rad_g + jnp.where(terminal, thr_g * at_g, 0.0)
@@ -885,8 +1009,20 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
              *miss, alive_f) = state
             miss = tuple(miss)
             alive = alive_f > 0.0
-            # per-bounce uniforms (stream 1 + b): (dir1, dir2, coin)
-            u1, u2, u_coin = _stream_uniforms(k0, k1, ray_u32, 1 + b, 3)
+            # per-bounce uniforms (stream 1 + b).  Column layout matches
+            # the XLA engine bit-for-bit (ops/shade.py shade_uniforms):
+            # [mix coins x MAX_MIX_DEPTH if has_mix] ++ [dir1 dir2 coin
+            # radius].  Only the level-0 mix coin is consumed (supports()
+            # admits single-level mixes; XLA's levels 1-3 are no-ops on
+            # them), and radius only when an Isotropic exists.
+            # Volume scenes draw one extra column per volume object (the
+            # free-flight uniform; XLA: u_vol = u[:, n_shade:]).
+            off = M.MAX_MIX_DEPTH if mix else 0
+            n_u = off + ((4 if iso else 3) if n_vol == 0 else 4 + n_vol)
+            us = _stream_uniforms(k0, k1, ray_u32, 1 + b, n_u)
+            u_mix = us[0] if mix else None
+            u1, u2, u_coin = us[off], us[off + 1], us[off + 2]
+            u_r = us[off + 3] if iso else zero
 
             a = _dot3(dx, dy, dz, dx, dy, dz)
             inv_a = 1.0 / a
@@ -951,10 +1087,16 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 is_met = par[_BS_MET] > 0.5
                 is_die = par[_BS_DIE] > 0.5
                 is_emi = par[_BS_EMI] > 0.5
+                # the _BS_ block has no spare row: Isotropic is the winner
+                # whose four explicit one-hots are all zero (_mat_rows only
+                # sets LAM/MET/DIE/EMI); non-hit lanes are masked by ``hit``
+                # downstream so the complement is safe
+                is_iso = ~(is_lam | is_met | is_die | is_emi) if iso \
+                    else (one < zero)
                 return _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
                               al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
-                              is_lam, is_met, is_die, is_emi,
-                              alive, u1, u2, u_coin,
+                              is_lam, is_met, is_die, is_emi, is_iso,
+                              alive, u1, u2, u_coin, u_r,
                               ox, oy, oz, dx, dy, dz,
                               thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
                               miss)
@@ -962,8 +1104,10 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             # ---- intersect: unrolled sphere loop, direct quadratic form
             t_best = jnp.full_like(dx, jnp.inf)
             best = jnp.full(dx.shape, -1, jnp.int32)
+            if n_vol:
+                ray_len = jnp.sqrt(a)
             for i in range(n_spheres):
-                base = _SPHERES + i * _SPHERE_STRIDE
+                base = _SPHERES + i * stride
                 cx, cy, cz = f(base), f(base + 1), f(base + 2)
                 r = f(base + 3)
                 ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
@@ -974,18 +1118,37 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 t1 = (-half_b - sq) * inv_a
                 t2 = (-half_b + sq) * inv_a
-                t1ok = (t1 >= T_MIN) & (t1 <= t_best)
-                t2ok = (t2 >= T_MIN) & (t2 <= t_best)
-                ti = jnp.where(t1ok, t1, jnp.where(t2ok, t2, jnp.inf))
-                better = ok & (ti < t_best)
+                if i >= n_solid:
+                    # constant-density volume (lib/volume.rs:35-73), the
+                    # exact op order of ops/intersect.py sphere_ts: clamp
+                    # the boundary window, exponential free flight with
+                    # THIS volume's statically-indexed uniform column
+                    u_v = us[off + 4 + (i - n_solid)]
+                    nid = f(base + stride - 1)
+                    h1 = jnp.maximum(t1, T_MIN)
+                    h2 = jnp.where(t2 >= t1 + T_MIN, t2, jnp.inf)
+                    valid = ok & (h1 < h2)
+                    h1 = jnp.maximum(h1, 0.0)
+                    dist_inside = (h2 - h1) * ray_len
+                    hit_dist = nid * jnp.log(jnp.maximum(u_v, 1e-37))
+                    ti = h1 + hit_dist / ray_len
+                    ti = jnp.where(valid & (hit_dist <= dist_inside),
+                                   ti, jnp.inf)
+                    better = ti < t_best
+                else:
+                    t1ok = (t1 >= T_MIN) & (t1 <= t_best)
+                    t2ok = (t2 >= T_MIN) & (t2 <= t_best)
+                    ti = jnp.where(t1ok, t1, jnp.where(t2ok, t2, jnp.inf))
+                    better = ok & (ti < t_best)
                 t_best = jnp.where(better, ti, t_best)
                 best = jnp.where(better, i, best)
 
             # ---- intersect: triangle chunks as MXU matmuls
             if tri is not None:
-                tri_c, tri_s, tri_tb = tri
-                t_tri, tpar = _tri_intersect(tri_c, tri_s, tri_tb,
-                                             ox, oy, oz, dx, dy, dz)
+                tri_c, tri_s, tri_s2, tri_tb = tri
+                t_tri, tpar, tpar2 = _tri_intersect(
+                    tri_c, tri_s, tri_tb, ox, oy, oz, dx, dy, dz,
+                    tri_s2=tri_s2)
                 tri_win = t_tri < t_best
                 t_best = jnp.where(tri_win, t_tri, t_best)
                 hit = (best >= 0) | (t_tri < jnp.inf)
@@ -996,9 +1159,17 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             scx = scy = scz = inv_r = zero
             al_r = al_g = al_b = fuzz = ir = em_r = em_g = em_b = zero
             false_ = one < zero
-            is_lam = is_met = is_die = is_emi = false_
+            is_lam = is_met = is_die = is_emi = is_iso = false_
+            vol_sel = false_
+            if mix:
+                # leaf-B parameter set + mix factor (blended after the
+                # triangle merge with the level-0 coin)
+                fac = zero
+                al2_r = al2_g = al2_b = fuzz2 = ir2 = zero
+                em2_r = em2_g = em2_b = zero
+                is_lam2 = is_met2 = is_die2 = is_emi2 = is_iso2 = false_
             for i in range(n_spheres):
-                base = _SPHERES + i * _SPHERE_STRIDE
+                base = _SPHERES + i * stride
                 sel = best == i
                 pick = lambda cur, v: jnp.where(sel, v, cur)
                 scx = pick(scx, f(base + 0))
@@ -1013,15 +1184,40 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 em_r = pick(em_r, f(base + 9))
                 em_g = pick(em_g, f(base + 10))
                 em_b = pick(em_b, f(base + 11))
-                k = sphere_kinds[i]  # static
-                if k == M.LAMBERTIAN:
+                if i >= n_solid:
+                    vol_sel = vol_sel | sel
+                k = sphere_kinds[i]  # static: int | (kind_a, kind_b)
+                k_a, k_b = k if isinstance(k, tuple) else (k, k)
+                if k_a == M.LAMBERTIAN:
                     is_lam = is_lam | sel
-                elif k == M.METAL:
+                elif k_a == M.METAL:
                     is_met = is_met | sel
-                elif k == M.DIELECTRIC:
+                elif k_a == M.DIELECTRIC:
                     is_die = is_die | sel
-                elif k == M.EMISSION:
+                elif k_a == M.EMISSION:
                     is_emi = is_emi | sel
+                elif k_a == M.ISOTROPIC:
+                    is_iso = is_iso | sel
+                if mix:
+                    fac = pick(fac, f(base + 12))
+                    al2_r = pick(al2_r, f(base + 13))
+                    al2_g = pick(al2_g, f(base + 14))
+                    al2_b = pick(al2_b, f(base + 15))
+                    fuzz2 = pick(fuzz2, f(base + 16))
+                    ir2 = pick(ir2, f(base + 17))
+                    em2_r = pick(em2_r, f(base + 18))
+                    em2_g = pick(em2_g, f(base + 19))
+                    em2_b = pick(em2_b, f(base + 20))
+                    if k_b == M.LAMBERTIAN:
+                        is_lam2 = is_lam2 | sel
+                    elif k_b == M.METAL:
+                        is_met2 = is_met2 | sel
+                    elif k_b == M.DIELECTRIC:
+                        is_die2 = is_die2 | sel
+                    elif k_b == M.EMISSION:
+                        is_emi2 = is_emi2 | sel
+                    elif k_b == M.ISOTROPIC:
+                        is_iso2 = is_iso2 | sel
 
             # hit point + front-face-flipped outward normal (safe t on miss
             # lanes: an inf primal in a masked branch still poisons the vjp)
@@ -1032,6 +1228,12 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             nx = (ptx - scx) * inv_r
             ny = (pty - scy) * inv_r
             nz = (ptz - scz) * inv_r
+            if n_vol:
+                # volume dummy normal (1,0,0) (lib/volume.rs:66-72;
+                # ops/intersect.py sphere_normal)
+                nx = jnp.where(vol_sel, 1.0, nx)
+                ny = jnp.where(vol_sel, 0.0, ny)
+                nz = jnp.where(vol_sel, 0.0, nz)
 
             # merge the winning triangle's shading constants (flat normal +
             # material values + kind one-hot rows of the S matrix)
@@ -1053,16 +1255,60 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 t_met = tpar[_TS_MET] > 0.5
                 t_die = tpar[_TS_DIE] > 0.5
                 t_emi = tpar[_TS_EMI] > 0.5
+                t_iso = tpar[_TS_ISO] > 0.5
                 # Mosaic cannot select on i1 vectors; boolean algebra
                 is_lam = (tri_win & t_lam) | (~tri_win & is_lam)
                 is_met = (tri_win & t_met) | (~tri_win & is_met)
                 is_die = (tri_win & t_die) | (~tri_win & is_die)
                 is_emi = (tri_win & t_emi) | (~tri_win & is_emi)
+                is_iso = (tri_win & t_iso) | (~tri_win & is_iso)
+                if mix:
+                    def m2(cur, row):
+                        return jnp.where(tri_win, tpar2[row], cur)
+                    fac = m2(fac, _T2_FAC)
+                    al2_r = m2(al2_r, _T2_AL + 0)
+                    al2_g = m2(al2_g, _T2_AL + 1)
+                    al2_b = m2(al2_b, _T2_AL + 2)
+                    fuzz2 = m2(fuzz2, _T2_FUZZ)
+                    ir2 = m2(ir2, _T2_IR)
+                    em2_r = m2(em2_r, _T2_EM + 0)
+                    em2_g = m2(em2_g, _T2_EM + 1)
+                    em2_b = m2(em2_b, _T2_EM + 2)
+                    t2l = tpar2[_T2_LAM] > 0.5
+                    t2m = tpar2[_T2_MET] > 0.5
+                    t2d = tpar2[_T2_DIE] > 0.5
+                    t2e = tpar2[_T2_EMI] > 0.5
+                    t2i = tpar2[_T2_ISO] > 0.5
+                    is_lam2 = (tri_win & t2l) | (~tri_win & is_lam2)
+                    is_met2 = (tri_win & t2m) | (~tri_win & is_met2)
+                    is_die2 = (tri_win & t2d) | (~tri_win & is_die2)
+                    is_emi2 = (tri_win & t2e) | (~tri_win & is_emi2)
+                    is_iso2 = (tri_win & t2i) | (~tri_win & is_iso2)
+
+            if mix:
+                # level-0 mix coin: u >= factor picks the FIRST leaf
+                # (lib/materials.rs:151; ops/shade.py resolve_mix).  Non-mix
+                # primitives bake leaf A == leaf B and factor == 0, making
+                # the blend the identity for them.
+                pick_a = u_mix >= fac
+                al_r = jnp.where(pick_a, al_r, al2_r)
+                al_g = jnp.where(pick_a, al_g, al2_g)
+                al_b = jnp.where(pick_a, al_b, al2_b)
+                fuzz = jnp.where(pick_a, fuzz, fuzz2)
+                ir = jnp.where(pick_a, ir, ir2)
+                em_r = jnp.where(pick_a, em_r, em2_r)
+                em_g = jnp.where(pick_a, em_g, em2_g)
+                em_b = jnp.where(pick_a, em_b, em2_b)
+                is_lam = (pick_a & is_lam) | (~pick_a & is_lam2)
+                is_met = (pick_a & is_met) | (~pick_a & is_met2)
+                is_die = (pick_a & is_die) | (~pick_a & is_die2)
+                is_emi = (pick_a & is_emi) | (~pick_a & is_emi2)
+                is_iso = (pick_a & is_iso) | (~pick_a & is_iso2)
 
             return _shade(b, a, hit, ptx, pty, ptz, nx, ny, nz,
                           al_r, al_g, al_b, fuzz, ir, em_r, em_g, em_b,
-                          is_lam, is_met, is_die, is_emi,
-                          alive, u1, u2, u_coin,
+                          is_lam, is_met, is_die, is_emi, is_iso,
+                          alive, u1, u2, u_coin, u_r,
                           ox, oy, oz, dx, dy, dz,
                           thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
                           miss)
@@ -1087,18 +1333,24 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
 
 
 def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
-                 tri_kinds=(), tri_tb=0):
+                 tri_kinds=(), tri_tb=0, mix=False, n_vol=0):
     """Forward kernel: sphere_kinds is a static tuple of material-kind ids,
     one per sphere; fparams rides scalar-prefetch SMEM; triangle constant
-    matrices (when the scene has triangles) ride VMEM."""
+    matrices (when the scene has triangles) ride VMEM.  ``mix`` adds the S2
+    second-leaf matrix operand."""
 
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
     def kernel(iparams, fparams, *refs):
-        if tri_tb:
+        if tri_tb and mix:
+            tri_c_ref, tri_s_ref, tri_s2_ref = refs[:3]
+            ray_id_ref, px_ref, py_ref = refs[3:6]
+            outs = refs[6:]
+            tri = (tri_c_ref[...], tri_s_ref[...], tri_s2_ref[...], tri_tb)
+        elif tri_tb:
             tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref = refs[:5]
             outs = refs[5:]
-            tri = (tri_c_ref[...], tri_s_ref[...], tri_tb)
+            tri = (tri_c_ref[...], tri_s_ref[...], None, tri_tb)
         else:
             ray_id_ref, px_ref, py_ref = refs[:3]
             outs = refs[3:]
@@ -1115,7 +1367,8 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=n_spheres, max_depth=max_depth,
             sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-            unrolled=False, tri=tri, tri_kinds=tri_kinds,
+            unrolled=False, tri=tri, tri_kinds=tri_kinds, mix=mix,
+            n_vol=n_vol,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -1124,7 +1377,8 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
 
 def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
-                      k_params, tri_kinds=(), tri_tb=0):
+                      k_params, tri_kinds=(), tri_tb=0, mix=False,
+                      n_vol=0):
     """Fused forward-replay + backward kernel.
 
     ``jax.vjp`` over :func:`_radiance_math` traces reverse-mode AD INTO the
@@ -1138,7 +1392,12 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     """
 
     def kernel(iparams, *refs):
-        if tri_tb:
+        ds2_ref = tri_s2_ref = None
+        if tri_tb and mix:
+            fp_ref, tri_c_ref, tri_s_ref, tri_s2_ref, ray_id_ref, px_ref, \
+                py_ref, g_r_ref, g_g_ref, g_b_ref, dfp_ref, dc_ref, \
+                ds_ref, ds2_ref = refs
+        elif tri_tb:
             fp_ref, tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref, \
                 g_r_ref, g_g_ref, g_b_ref, dfp_ref, dc_ref, ds_ref = refs
         else:
@@ -1154,14 +1413,27 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         py = py_ref[...]
         cts = (g_r_ref[...], g_g_ref[...], g_b_ref[...])
 
-        if tri_tb:
+        if tri_tb and mix:
+            def block_radiance(fp_row, c_arr, s_arr, s2_arr):
+                return _radiance_math(
+                    lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
+                    n_spheres=n_spheres, max_depth=max_depth,
+                    sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+                    unrolled=True, tri=(c_arr, s_arr, s2_arr, tri_tb),
+                    tri_kinds=tri_kinds, mix=True, n_vol=n_vol,
+                )
+
+            _, vjp_fn = jax.vjp(block_radiance, fp_ref[...], tri_c_ref[...],
+                                tri_s_ref[...], tri_s2_ref[...])
+            dfp, dc, ds, ds2 = vjp_fn(cts)
+        elif tri_tb:
             def block_radiance(fp_row, c_arr, s_arr):
                 return _radiance_math(
                     lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
                     n_spheres=n_spheres, max_depth=max_depth,
                     sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-                    unrolled=True, tri=(c_arr, s_arr, tri_tb),
-                    tri_kinds=tri_kinds,
+                    unrolled=True, tri=(c_arr, s_arr, None, tri_tb),
+                    tri_kinds=tri_kinds, n_vol=n_vol,
                 )
 
             _, vjp_fn = jax.vjp(block_radiance, fp_ref[...], tri_c_ref[...],
@@ -1173,7 +1445,7 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
                     lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
                     n_spheres=n_spheres, max_depth=max_depth,
                     sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-                    unrolled=True,
+                    unrolled=True, mix=mix, n_vol=n_vol,
                 )
 
             _, vjp_fn = jax.vjp(block_radiance, fp_ref[...])
@@ -1185,11 +1457,15 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             if tri_tb:
                 dc_ref[...] = jnp.zeros_like(dc_ref)
                 ds_ref[...] = jnp.zeros_like(ds_ref)
+                if mix:
+                    ds2_ref[...] = jnp.zeros_like(ds2_ref)
 
         dfp_ref[...] += dfp
         if tri_tb:
             dc_ref[...] += dc
             ds_ref[...] += ds
+            if mix:
+                ds2_ref[...] += ds2
 
     return kernel
 
@@ -1198,15 +1474,16 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
 @functools.lru_cache(maxsize=64)
 def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
-                   rows, interpret, n_tris=0, tri_tb=0, tri_kinds=()):
+                   rows, interpret, n_tris=0, tri_tb=0, tri_kinds=(),
+                   mix=False, n_vol=0):
     """custom_vjp-wrapped block radiance for one static configuration.
 
     Primal: the early-out forward kernel.  Backward: the fused
     forward-replay + vjp kernel (_make_grad_kernel) — the entire
     differentiable step never spills the wavefront to HBM.  Cached per
     static config so jit re-traces reuse the same custom_vjp instance.
-    With triangles (n_tris > 0) the signature gains the (tri_c, tri_s)
-    VMEM constant matrices as differentiable operands.
+    With triangles (n_tris > 0) the signature gains the (tri_c, tri_s[,
+    tri_s2]) VMEM constant matrices as differentiable operands.
     """
     shape2d = (rows, BLOCK_COLS)
     grid = rows // BLOCK_ROWS
@@ -1223,11 +1500,13 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         tri_s_block = pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
                                    memory_space=pltpu.VMEM)
         tri_in_specs = [tri_c_block, tri_s_block]
+        if mix:
+            tri_in_specs.append(tri_s_block)  # S2: same shape as S
     else:
         tri_in_specs = []
 
     fwd_kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind,
-                              clay, tri_kinds, tri_tb)
+                              clay, tri_kinds, tri_tb, mix, n_vol)
     fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -1243,10 +1522,11 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             interpret=interpret,
         )(iparams, fparams, *tri_ops, ray_ids, px, py)
 
-    k = int(_SPHERES + n_spheres * _SPHERE_STRIDE)
+    k = int(_SPHERES + n_spheres * _sphere_stride(mix, n_vol > 0))
     k_pad = -(-k // 128) * 128
     grad_kernel = _make_grad_kernel(n_spheres, max_depth, sphere_kinds,
-                                    bg_kind, clay, k_pad, tri_kinds, tri_tb)
+                                    bg_kind, clay, k_pad, tri_kinds, tri_tb,
+                                    mix, n_vol)
     param_block = pl.BlockSpec((1, k_pad), lambda i, *_: (0, 0),
                                memory_space=pltpu.VMEM)
     grad_grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1263,6 +1543,8 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         if n_tris:
             grad_out += [jax.ShapeDtypeStruct((16, 4 * t_pad), jnp.float32),
                          jax.ShapeDtypeStruct((16, t_pad), jnp.float32)]
+            if mix:
+                grad_out += [jax.ShapeDtypeStruct((16, t_pad), jnp.float32)]
         res = pl.pallas_call(
             grad_kernel,
             grid_spec=grad_grid_spec,
@@ -1274,7 +1556,30 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
     f0 = jax.dtypes.float0
 
-    if n_tris:
+    if n_tris and mix:
+        @jax.custom_vjp
+        def radiance(fparams, tri_c, tri_s, tri_s2, iparams, ray_ids,
+                     px, py):
+            return run_forward(iparams, fparams, (tri_c, tri_s, tri_s2),
+                               ray_ids, px, py)
+
+        def radiance_fwd(fparams, tri_c, tri_s, tri_s2, iparams, ray_ids,
+                         px, py):
+            primal = run_forward(iparams, fparams, (tri_c, tri_s, tri_s2),
+                                 ray_ids, px, py)
+            return primal, (fparams, tri_c, tri_s, tri_s2, iparams,
+                            ray_ids, px, py)
+
+        def radiance_bwd(res, cts):
+            fparams, tri_c, tri_s, tri_s2, iparams, ray_ids, px, py = res
+            dfp, dc, ds, ds2 = run_grad(
+                iparams, fparams, (tri_c, tri_s, tri_s2),
+                ray_ids, px, py, *cts)
+            return (dfp, dc, ds, ds2,
+                    np.zeros(iparams.shape, f0),
+                    np.zeros(ray_ids.shape, f0),
+                    jnp.zeros_like(px), jnp.zeros_like(py))
+    elif n_tris:
         @jax.custom_vjp
         def radiance(fparams, tri_c, tri_s, iparams, ray_ids, px, py):
             return run_forward(iparams, fparams, (tri_c, tri_s),
@@ -1316,7 +1621,8 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
 @functools.lru_cache(maxsize=32)
 def _fwd_skymap_call(n_spheres, max_depth, sphere_kinds, clay, rows,
-                     interpret, n_tris=0, tri_tb=0, tri_kinds=()):
+                     interpret, n_tris=0, tri_tb=0, tri_kinds=(),
+                     mix=False, n_vol=0):
     """Plain (no custom_vjp) pallas_call for the SKYMAP brute config: the
     kernel returns radiance + the per-ray miss record (9 outputs); AD
     attempts fail loudly at pallas_call instead of silently dropping the
@@ -1332,15 +1638,18 @@ def _fwd_skymap_call(n_spheres, max_depth, sphere_kinds, clay, rows,
     t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
     tri_in_specs = []
     if n_tris:
+        s_block = pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
         tri_in_specs = [
             pl.BlockSpec((16, 4 * t_pad), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
+            s_block,
         ]
+        if mix:
+            tri_in_specs.append(s_block)
 
     kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, B.SKYMAP,
-                          clay, tri_kinds, tri_tb)
+                          clay, tri_kinds, tri_tb, mix, n_vol)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(grid,),
@@ -1378,12 +1687,14 @@ def _env_finish(scene: Scene, outs, n_rays: int):
 
 
 def _pack_fparams(scene: Scene, width: int, height: int,
-                  with_spheres: bool = True):
+                  with_spheres: bool = True, mix: bool = False):
     """Runtime scene constants -> (K,) f32 (traced; no host sync).
 
     ``with_spheres=False`` packs only the head (camera + background + pixel
     scale) — the BVH kernel keeps sphere constants in VMEM chunks instead
-    of SMEM."""
+    of SMEM.  ``mix`` extends each sphere record to _SPHERE_STRIDE_MIX with
+    the mix factor + second-leaf parameters (leaf A rides the base slots
+    via mix_first, which is the identity for non-mix rows)."""
     origin, horizontal, vertical, lower_left = scene.camera.ray_origin()
     bg = scene.background
     bg_a = bg.color_a
@@ -1397,24 +1708,55 @@ def _pack_fparams(scene: Scene, width: int, height: int,
         return head.astype(jnp.float32)
     mats = scene.materials
     mat_id = scene.spheres.material
-    per_sphere = jnp.concatenate(
-        [
-            scene.spheres.center,                       # cx cy cz
-            scene.spheres.radius[:, None],              # r
-            mats.albedo[mat_id],                        # al_r al_g al_b
-            mats.fuzz[mat_id][:, None],                 # fuzz
-            mats.ir[mat_id][:, None],                   # ir
-            mats.emission[mat_id],                      # em_r em_g em_b
-        ],
-        axis=1,
-    ).reshape(-1)
+    mid_a = mats.mix_first[mat_id] if mix else mat_id
+    cols = [
+        scene.spheres.center,                       # cx cy cz
+        scene.spheres.radius[:, None],              # r
+        mats.albedo[mid_a],                         # al_r al_g al_b
+        mats.fuzz[mid_a][:, None],                  # fuzz
+        mats.ir[mid_a][:, None],                    # ir
+        mats.emission[mid_a],                       # em_r em_g em_b
+    ]
+    if mix:
+        mid_b = mats.mix_second[mat_id]
+        cols += [
+            mats.mix_factor[mat_id][:, None],       # factor
+            mats.albedo[mid_b],                     # al2
+            mats.fuzz[mid_b][:, None],              # fuzz2
+            mats.ir[mid_b][:, None],                # ir2
+            mats.emission[mid_b],                   # em2
+        ]
+    if scene.spheres.num_volumes > 0:
+        cols += [scene.spheres.neg_inv_density[:, None]]  # nid (0 = solid)
+    per_sphere = jnp.concatenate(cols, axis=1).reshape(-1)
     return jnp.concatenate([head, per_sphere]).astype(jnp.float32)
 
 
 def _sphere_kinds(scene: Scene) -> tuple:
+    """Per-sphere static material kinds: an int for plain materials, an
+    (kind_a, kind_b) pair for single-level mixes (the kernel blends the two
+    baked leaves with the bounce's mix coin)."""
     kinds = np.asarray(scene.materials.kind)
-    mat = np.asarray(scene.spheres.material)
-    return tuple(int(kinds[m]) for m in mat)
+    first = np.asarray(scene.materials.mix_first)
+    second = np.asarray(scene.materials.mix_second)
+    out = []
+    for m in np.asarray(scene.spheres.material):
+        if kinds[m] == M.MIX:
+            out.append((int(kinds[first[m]]), int(kinds[second[m]])))
+        else:
+            out.append(int(kinds[m]))
+    return tuple(out)
+
+
+def _flat_kinds(kind_entries) -> set:
+    """Flatten _sphere_kinds entries (ints and (a, b) mix pairs) to a set."""
+    out = set()
+    for k in kind_entries:
+        if isinstance(k, tuple):
+            out.update(k)
+        else:
+            out.add(k)
+    return out
 
 
 def seed_words(seed: int):
@@ -1487,10 +1829,11 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
                                                sample_offset, n_samples)
     n_local = n_samples if n_samples is not None else spp
 
-    fparams = _pack_fparams(scene, width, height)
+    mix = bool(scene.materials.has_mix)
+    fparams = _pack_fparams(scene, width, height, mix=mix)
     n_tris = len(scene.triangles)
     tri_tb = _tri_sizes(n_tris)[0] if n_tris else 0
-    tri_ops = tuple(_pack_tri(scene, tri_tb)) if n_tris else ()
+    tri_ops = tuple(_pack_tri(scene, tri_tb, mix=mix)) if n_tris else ()
 
     if scene.background.kind == B.SKYMAP:
         # forward-only: the kernel records per-ray miss dir/throughput;
@@ -1500,6 +1843,7 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
             scene.settings.mode == MODE_CLAY, rows, interpret,
             n_tris=n_tris, tri_tb=tri_tb,
             tri_kinds=tri_kinds if n_tris else (),
+            mix=mix, n_vol=scene.spheres.num_volumes,
         )
         outs = run(iparams, fparams, tri_ops, ray_ids, px, py)
         radiance = _env_finish(scene, outs, n_rays)
@@ -1518,6 +1862,8 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
             n_tris=n_tris,
             tri_tb=tri_tb,
             tri_kinds=tri_kinds if n_tris else (),
+            mix=mix,
+            n_vol=scene.spheres.num_volumes,
         )
         rad_r, rad_g, rad_b = radiance_fn(fparams, *tri_ops, iparams,
                                           ray_ids, px, py)
@@ -1533,7 +1879,8 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
 
 def _bvh_kinds(scene: Scene) -> tuple:
     """Static sorted tuple of material-kind ids used by ANY primitive."""
-    return tuple(sorted(set(_sphere_kinds(scene)) | set(_tri_kinds(scene))))
+    return tuple(sorted(_flat_kinds(_sphere_kinds(scene))
+                        | set(_tri_kinds(scene))))
 
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):

@@ -171,7 +171,7 @@ def scatter(table: M.MaterialTable, mat_id, d_in, normal, front_face, u,
 
     if M.ISOTROPIC in present:
         # Isotropic (lib/volume.rs:75-88)
-        iso_dir = sphere_dir * jnp.cbrt(u_r)[..., None]
+        iso_dir = sphere_dir * rng.cbrt01(u_r)[..., None]
         lobe(M.ISOTROPIC, albedo, iso_dir, true_)
 
     condc = [c[..., None] for c in conds]

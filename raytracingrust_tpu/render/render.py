@@ -129,6 +129,17 @@ def _render_pallas_bvh(scene: Scene, width: int, height: int, iparams,
     return mean.reshape(height, width, 3)
 
 
+# Real-chip triangle budget for the brute kernel's auto-dispatch: the
+# 8-chunk case (4,096 tris, depth 6) was MEASURED to exceed the default
+# scoped-VMEM limit at compile (47.9 MB vs 16 MB — the per-chunk
+# (4*TB, 256) matmul intermediates), so mid-size triangle scenes route to
+# the packet-traversal BVH kernel instead (house.obj-class scenes measured
+# 2.1M rays/s there, docs/performance.md).  supports() itself keeps the
+# larger semantic envelope: interpret-mode tests and users who force
+# engine="pallas" (which fails loudly at compile, never silently).
+TPU_MAX_BRUTE_TRIS = 1024
+
+
 def select_engine(scene: Scene, engine: str) -> str:
     """Resolve "auto" -> the fastest applicable engine on this backend.
 
@@ -144,10 +155,12 @@ def select_engine(scene: Scene, engine: str) -> str:
 
     if jax.devices()[0].platform == "cpu":
         return "xla"
-    if supports_fwd(scene):
+    if supports_fwd(scene) and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS:
         return "pallas"
     if supports_bvh(scene):
         return "pallas_bvh"
+    if supports_fwd(scene):
+        return "pallas"  # no cbvh built: let the brute kernel try
     return "xla"
 
 

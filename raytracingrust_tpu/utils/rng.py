@@ -119,8 +119,17 @@ def unit_sphere_surface(u1, u2):
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
 
+def cbrt01(u):
+    """cbrt on [0,1) as exp(log(u)/3) — the ONE cube-root implementation
+    shared by the XLA shader and the Pallas megakernel (lax.cbrt has no
+    Mosaic lowering; using the same formula in both engines keeps their
+    isotropic scatter directions bit-identical).  The clamp maps u == 0 to
+    ~exp(-29) instead of 0 — a 2^-32-probability draw displaced by 1e-13."""
+    return jnp.exp(jnp.log(jnp.maximum(u, 1e-38)) * (1.0 / 3.0))
+
+
 def unit_sphere_volume(u1, u2, u3):
     """Uniform point in the unit ball (lib/utils/sample.rs:40-57 equivalent)."""
     d = unit_sphere_surface(u1, u2)
-    r = jnp.cbrt(u3)
+    r = cbrt01(u3)
     return d * r[..., None]

@@ -158,14 +158,25 @@ def test_supports_gate():
 
     b = benchmark_like_builder()
     assert PK.supports(b.build(with_bvh=False))
+    # round 2: single-level mixes, isotropic, and volumes are IN the
+    # kernel envelope (tests/test_pallas_mix.py has the parity tests)
     b2 = benchmark_like_builder()
     b2.add_material(MixMaterial(Lambertian((1, 0, 0)), Dielectric(1.5), 0.5))
-    assert not PK.supports(b2.build(with_bvh=False))
+    assert PK.supports(b2.build(with_bvh=False))
     b3 = benchmark_like_builder()
     iso = b3.add_material(Isotropic((0.5, 0.5, 0.5)))
     idx = b3.add_sphere((0, 3, -1), 0.5, iso)
     b3.add_volume(idx, 2.0)
-    assert not PK.supports(b3.build(with_bvh=False))
+    assert PK.supports(b3.build(with_bvh=False))
+    # still out: mix-of-mix (needs per-lane table gathers) and the debug
+    # view modes
+    b4 = benchmark_like_builder()
+    b4.add_material(MixMaterial(
+        MixMaterial(Lambertian((1, 0, 0)), Lambertian((0, 1, 0)), 0.5),
+        Dielectric(1.5), 0.5))
+    assert not PK.supports(b4.build(with_bvh=False))
+    b5 = benchmark_like_builder(mode="Normal")
+    assert not PK.supports(b5.build(with_bvh=False))
 
 
 # ------------------------------------------------------- differentiable path
