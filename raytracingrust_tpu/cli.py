@@ -31,6 +31,16 @@ def _add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
     p.add_argument("--bvh", action="store_true", help="force BVH on")
     p.add_argument("--no-bvh", action="store_true", help="force BVH off")
+    p.add_argument("--engine",
+                   choices=["auto", "xla", "pallas", "pallas_bvh"],
+                   default="auto",
+                   help="render engine (auto = fastest applicable: Pallas "
+                        "megakernel / packet-traversal BVH kernel on TPU, "
+                        "XLA wavefront otherwise)")
+    p.add_argument("--env-is", action="store_true",
+                   help="importance-sample the HDRI environment "
+                        "(one-sample MIS; only meaningful with a SkyMap "
+                        "background)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tile-rays", type=int, default=None,
                    help="rays per on-device tile")
@@ -63,6 +73,8 @@ def _load(args):
         overrides["enable_bvh_tree"] = True
     if args.no_bvh:
         overrides["enable_bvh_tree"] = False
+    if getattr(args, "env_is", False):
+        overrides["env_importance_sampling"] = True
     builder.settings = dataclasses.replace(s, **overrides)
     return builder
 
@@ -102,7 +114,8 @@ def cmd_render(args) -> int:
         img = render_sharded(scene, args.width, args.height, seed=args.seed)
     else:
         from .render.render import render
-        img = render(scene, args.width, args.height, seed=args.seed, **kwargs)
+        img = render(scene, args.width, args.height, seed=args.seed,
+                     engine=args.engine, **kwargs)
     if args.profile:
         import jax
         jax.profiler.stop_trace()
@@ -152,7 +165,7 @@ def cmd_fit(args) -> int:
 
     out_scene, params, history = fit(
         scene, target, args.params.split(","), w, h,
-        steps=args.steps, learning_rate=args.lr,
+        steps=args.steps, learning_rate=args.lr, engine=args.engine,
         checkpoint_path=args.checkpoint, callback=log,
     )
     print(f"final loss {history[-1]:.6f}")
@@ -236,6 +249,14 @@ def main(argv=None) -> int:
     pf.add_argument("--mode", choices=["Full", "Clay", "Normal", "Random"])
     pf.add_argument("--bvh", action="store_true")
     pf.add_argument("--no-bvh", action="store_true")
+    pf.add_argument("--engine",
+                    choices=["auto", "xla", "pallas", "pallas_bvh"],
+                    default="auto",
+                    help="engine for the differentiable loss (auto = "
+                         "Pallas fused fwd+bwd when the scene qualifies)")
+    pf.add_argument("--env-is", action="store_true",
+                    help="importance-sample the HDRI environment in the "
+                         "loss (one-sample MIS)")
     pf.set_defaults(fn=cmd_fit)
 
     pv = sub.add_parser("view", help="interactive web viewer "

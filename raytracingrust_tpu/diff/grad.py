@@ -80,10 +80,11 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
     """
     target = jnp.asarray(target)
 
-    # Resolve "auto" HERE (scene is concrete): under jax.grad only the
-    # differentiable engine qualifies — the packet-traversal BVH kernel and
-    # the skymap miss-record path are forward-only, so those scenes
-    # differentiate via the XLA path (supports(), not supports_fwd()).
+    # Resolve "auto" HERE (scene is concrete): under jax.grad only a
+    # differentiable engine qualifies.  The brute kernel differentiates
+    # everything in its envelope INCLUDING skymap scenes (miss records ride
+    # the custom_vjp; _env_finish's gather cotangents enter the fused
+    # backward).  Scenes beyond it fall to the XLA reverse path.
     if engine == "auto":
         import jax as _jax
 

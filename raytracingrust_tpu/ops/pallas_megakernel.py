@@ -108,34 +108,30 @@ def supports(scene: Scene) -> bool:
     Constant-density volumes (lib/volume.rs) ARE supported: the unrolled
     sphere loop indexes each volume's free-flight uniform column statically
     (volumes sort last in the sphere SoA), so no per-lane gather is needed.
+
+    SKYMAP backgrounds ARE supported AND differentiable: a per-lane texture
+    gather is not expressible on TPU lanes, so the kernel RECORDS each
+    ray's (miss direction, throughput) — a path misses at most once — and
+    the driver adds ``throughput * sky(dir)`` with one batched XLA gather
+    afterward (_env_finish).  The miss records ride the custom_vjp pair as
+    primal outputs, so the gather's cotangents enter the fused backward
+    kernel and HDRI fits run at full Pallas speed.
     """
     return (
         len(scene.triangles) <= MAX_TRIS
         and 0 < (len(scene.spheres) + len(scene.triangles))
         and len(scene.spheres) <= MAX_UNROLLED_SPHERES
         and _mix_in_kernel_ok(scene)
-        and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
 
 
 def supports_fwd(scene: Scene) -> bool:
-    """Forward-only brute-kernel envelope: adds SKYMAP backgrounds.
-
-    A per-lane texture gather is not expressible on TPU lanes, so the
-    kernel RECORDS each ray's (miss direction, throughput) — a path misses
-    at most once — and the driver adds ``throughput * sky(dir)`` with one
-    batched XLA gather afterward.  No AD rule on this path (the
-    differentiable custom_vjp pair doesn't carry the miss outputs);
-    diff/grad.py routes skymap scenes to the XLA engine."""
-    return supports(scene) or (
-        scene.background.kind == B.SKYMAP
-        and len(scene.triangles) <= MAX_TRIS
-        and 0 < (len(scene.spheres) + len(scene.triangles))
-        and len(scene.spheres) <= MAX_UNROLLED_SPHERES
-        and _mix_in_kernel_ok(scene)
-        and scene.settings.mode in (MODE_FULL, MODE_CLAY)
-    )
+    """Alias of :func:`supports` — kept for callers that predate the
+    differentiable SKYMAP path (the forward and differentiable envelopes
+    of the brute kernel are now identical)."""
+    return supports(scene)
 
 
 # -------------------------------------------------------- counter-based RNG
@@ -1391,18 +1387,31 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     _pack_tri into material/geometry pytree leaves.
     """
 
+    # skymap configs carry NINE primal outputs (rgb radiance + the 6 miss-
+    # record registers consumed by the driver's differentiable equirect
+    # gather, _env_finish) — their cotangents all enter the fused vjp
+    n_cts = 9 if bg_kind == B.SKYMAP else 3
+
     def kernel(iparams, *refs):
         ds2_ref = tri_s2_ref = None
-        if tri_tb and mix:
-            fp_ref, tri_c_ref, tri_s_ref, tri_s2_ref, ray_id_ref, px_ref, \
-                py_ref, g_r_ref, g_g_ref, g_b_ref, dfp_ref, dc_ref, \
-                ds_ref, ds2_ref = refs
-        elif tri_tb:
-            fp_ref, tri_c_ref, tri_s_ref, ray_id_ref, px_ref, py_ref, \
-                g_r_ref, g_g_ref, g_b_ref, dfp_ref, dc_ref, ds_ref = refs
-        else:
-            fp_ref, ray_id_ref, px_ref, py_ref, \
-                g_r_ref, g_g_ref, g_b_ref, dfp_ref = refs
+        refs = list(refs)
+        fp_ref = refs.pop(0)
+        if tri_tb:
+            tri_c_ref = refs.pop(0)
+            tri_s_ref = refs.pop(0)
+            if mix:
+                tri_s2_ref = refs.pop(0)
+        ray_id_ref = refs.pop(0)
+        px_ref = refs.pop(0)
+        py_ref = refs.pop(0)
+        g_refs = [refs.pop(0) for _ in range(n_cts)]
+        dfp_ref = refs.pop(0)
+        if tri_tb:
+            dc_ref = refs.pop(0)
+            ds_ref = refs.pop(0)
+            if mix:
+                ds2_ref = refs.pop(0)
+        assert not refs
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
         ray_id = ray_id_ref[...]
@@ -1411,7 +1420,7 @@ def _make_grad_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
         px = px_ref[...]
         py = py_ref[...]
-        cts = (g_r_ref[...], g_g_ref[...], g_b_ref[...])
+        cts = tuple(g[...] for g in g_refs)
 
         if tri_tb and mix:
             def block_radiance(fp_row, c_arr, s_arr, s2_arr):
@@ -1484,6 +1493,12 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     static config so jit re-traces reuse the same custom_vjp instance.
     With triangles (n_tris > 0) the signature gains the (tri_c, tri_s[,
     tri_s2]) VMEM constant matrices as differentiable operands.
+
+    SKYMAP configs return NINE blocks (radiance rgb + miss direction +
+    miss throughput); the driver's _env_finish adds the equirect gather
+    OUTSIDE the kernel, and its cotangents (through-the-sky throughput
+    terms) flow back into the fused vjp — HDRI scenes differentiate at
+    full Pallas speed.
     """
     shape2d = (rows, BLOCK_COLS)
     grid = rows // BLOCK_ROWS
@@ -1492,6 +1507,7 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         memory_space=pltpu.VMEM,
     )
     out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+    n_out = 9 if bg_kind == B.SKYMAP else 3
 
     t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
     if n_tris:
@@ -1511,16 +1527,16 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         num_scalar_prefetch=2,
         grid=(grid,),
         in_specs=tri_in_specs + [block, block, block],
-        out_specs=[block, block, block],
+        out_specs=[block] * n_out,
     )
 
     def run_forward(iparams, fparams, tri_ops, ray_ids, px, py):
-        return pl.pallas_call(
+        return tuple(pl.pallas_call(
             fwd_kernel,
             grid_spec=fwd_grid_spec,
-            out_shape=[out, out, out],
+            out_shape=[out] * n_out,
             interpret=interpret,
-        )(iparams, fparams, *tri_ops, ray_ids, px, py)
+        )(iparams, fparams, *tri_ops, ray_ids, px, py))
 
     k = int(_SPHERES + n_spheres * _sphere_stride(mix, n_vol > 0))
     k_pad = -(-k // 128) * 128
@@ -1533,11 +1549,11 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[param_block] + tri_in_specs
-        + [block, block, block, block, block, block],
+        + [block] * (3 + n_out),
         out_specs=[param_block] + tri_in_specs,
     )
 
-    def run_grad(iparams, fparams, tri_ops, ray_ids, px, py, g_r, g_g, g_b):
+    def run_grad(iparams, fparams, tri_ops, ray_ids, px, py, cts):
         fp_row = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(fparams)
         grad_out = [jax.ShapeDtypeStruct((1, k_pad), jnp.float32)]
         if n_tris:
@@ -1550,7 +1566,7 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             grid_spec=grad_grid_spec,
             out_shape=grad_out,
             interpret=interpret,
-        )(iparams, fp_row, *tri_ops, ray_ids, px, py, g_r, g_g, g_b)
+        )(iparams, fp_row, *tri_ops, ray_ids, px, py, *cts)
         dfp = res[0][0, :k]
         return (dfp, *res[1:])
 
@@ -1574,7 +1590,7 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             fparams, tri_c, tri_s, tri_s2, iparams, ray_ids, px, py = res
             dfp, dc, ds, ds2 = run_grad(
                 iparams, fparams, (tri_c, tri_s, tri_s2),
-                ray_ids, px, py, *cts)
+                ray_ids, px, py, tuple(cts))
             return (dfp, dc, ds, ds2,
                     np.zeros(iparams.shape, f0),
                     np.zeros(ray_ids.shape, f0),
@@ -1593,7 +1609,7 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
         def radiance_bwd(res, cts):
             fparams, tri_c, tri_s, iparams, ray_ids, px, py = res
             dfp, dc, ds = run_grad(iparams, fparams, (tri_c, tri_s),
-                                   ray_ids, px, py, *cts)
+                                   ray_ids, px, py, tuple(cts))
             return (dfp, dc, ds,
                     np.zeros(iparams.shape, f0),
                     np.zeros(ray_ids.shape, f0),
@@ -1609,7 +1625,8 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
         def radiance_bwd(res, cts):
             fparams, iparams, ray_ids, px, py = res
-            dfp, = run_grad(iparams, fparams, (), ray_ids, px, py, *cts)
+            dfp, = run_grad(iparams, fparams, (), ray_ids, px, py,
+                            tuple(cts))
             return (dfp,
                     np.zeros(iparams.shape, f0),
                     np.zeros(ray_ids.shape, f0),
@@ -1617,55 +1634,6 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
 
     radiance.defvjp(radiance_fwd, radiance_bwd)
     return radiance
-
-
-@functools.lru_cache(maxsize=32)
-def _fwd_skymap_call(n_spheres, max_depth, sphere_kinds, clay, rows,
-                     interpret, n_tris=0, tri_tb=0, tri_kinds=(),
-                     mix=False, n_vol=0):
-    """Plain (no custom_vjp) pallas_call for the SKYMAP brute config: the
-    kernel returns radiance + the per-ray miss record (9 outputs); AD
-    attempts fail loudly at pallas_call instead of silently dropping the
-    env term (diff paths use the XLA engine for skymap scenes)."""
-    shape2d = (rows, BLOCK_COLS)
-    grid = rows // BLOCK_ROWS
-    block = pl.BlockSpec(
-        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
-
-    t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
-    tri_in_specs = []
-    if n_tris:
-        s_block = pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM)
-        tri_in_specs = [
-            pl.BlockSpec((16, 4 * t_pad), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            s_block,
-        ]
-        if mix:
-            tri_in_specs.append(s_block)
-
-    kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, B.SKYMAP,
-                          clay, tri_kinds, tri_tb, mix, n_vol)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(grid,),
-        in_specs=tri_in_specs + [block, block, block],
-        out_specs=[block] * 9,
-    )
-
-    def run(iparams, fparams, tri_ops, ray_ids, px, py):
-        return pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[out] * 9,
-            interpret=interpret,
-        )(iparams, fparams, *tri_ops, ray_ids, px, py)
-
-    return run
 
 
 def _env_finish(scene: Scene, outs, n_rays: int):
@@ -1835,38 +1803,32 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
     tri_tb = _tri_sizes(n_tris)[0] if n_tris else 0
     tri_ops = tuple(_pack_tri(scene, tri_tb, mix=mix)) if n_tris else ()
 
+    # Differentiable (ALL backgrounds): gradients w.r.t. scene parameters
+    # flow through _pack_fparams / _pack_tri (plain jnp) into the
+    # custom_vjp, whose backward is the fused Pallas forward-replay+vjp
+    # kernel.  SKYMAP scenes return 9 blocks (radiance + miss records);
+    # the equirect texel gather happens OUTSIDE the kernel (_env_finish),
+    # is differentiable w.r.t. the sky texels + recorded throughput, and
+    # its cotangents enter the fused vjp through the miss-record outputs.
+    radiance_fn = _radiance_cvjp(
+        len(scene.spheres),
+        scene.settings.max_ray_depth,
+        sphere_kinds,
+        scene.background.kind,
+        scene.settings.mode == MODE_CLAY,
+        rows,
+        interpret,
+        n_tris=n_tris,
+        tri_tb=tri_tb,
+        tri_kinds=tri_kinds if n_tris else (),
+        mix=mix,
+        n_vol=scene.spheres.num_volumes,
+    )
+    outs = radiance_fn(fparams, *tri_ops, iparams, ray_ids, px, py)
     if scene.background.kind == B.SKYMAP:
-        # forward-only: the kernel records per-ray miss dir/throughput;
-        # the equirect texel fetch is one batched XLA gather afterwards
-        run = _fwd_skymap_call(
-            len(scene.spheres), scene.settings.max_ray_depth, sphere_kinds,
-            scene.settings.mode == MODE_CLAY, rows, interpret,
-            n_tris=n_tris, tri_tb=tri_tb,
-            tri_kinds=tri_kinds if n_tris else (),
-            mix=mix, n_vol=scene.spheres.num_volumes,
-        )
-        outs = run(iparams, fparams, tri_ops, ray_ids, px, py)
         radiance = _env_finish(scene, outs, n_rays)
     else:
-        # Differentiable: gradients w.r.t. scene parameters flow through
-        # _pack_fparams / _pack_tri (plain jnp) into the custom_vjp, whose
-        # backward is the fused Pallas forward-replay+vjp kernel.
-        radiance_fn = _radiance_cvjp(
-            len(scene.spheres),
-            scene.settings.max_ray_depth,
-            sphere_kinds,
-            scene.background.kind,
-            scene.settings.mode == MODE_CLAY,
-            rows,
-            interpret,
-            n_tris=n_tris,
-            tri_tb=tri_tb,
-            tri_kinds=tri_kinds if n_tris else (),
-            mix=mix,
-            n_vol=scene.spheres.num_volumes,
-        )
-        rad_r, rad_g, rad_b = radiance_fn(fparams, *tri_ops, iparams,
-                                          ray_ids, px, py)
+        rad_r, rad_g, rad_b = outs
         radiance = jnp.stack(
             [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)],
             axis=-1,

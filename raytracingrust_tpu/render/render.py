@@ -159,8 +159,11 @@ def select_engine(scene: Scene, engine: str) -> str:
         return "pallas"
     if supports_bvh(scene):
         return "pallas_bvh"
-    if supports_fwd(scene):
-        return "pallas"  # no cbvh built: let the brute kernel try
+    # Scenes rejected by BOTH kernels (mix/volume scenes above the brute
+    # triangle cap, no cbvh built, ...) fall back to XLA: the brute kernel
+    # was MEASURED to OOM scoped VMEM at compile above TPU_MAX_BRUTE_TRIS,
+    # so auto never selects a configuration known to fail (explicit
+    # engine="pallas" still fails loudly at compile).
     return "xla"
 
 

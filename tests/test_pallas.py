@@ -110,7 +110,11 @@ def assert_engines_agree(builder, w=16, h=12, seed=0, frac=0.08):
     assert np.abs(xla - pal).mean() < 4e-2
 
 
-def test_pallas_bit_identical_unit_scale():
+def test_pallas_near_bit_identical_unit_scale():
+    # "near": shared RNG makes samples bit-identical EXCEPT where a
+    # borderline hit decision flips between intersector formulations
+    # (matmul vs direct quadratic); at most a couple of pixels may differ,
+    # and every non-flipped pixel must match exactly.
     from raytracingrust_tpu import Isotropic  # noqa: F401  (import parity)
 
     b = SceneBuilder()
@@ -241,16 +245,17 @@ def test_pallas_value_and_grad_consistent():
 
 
 def test_pallas_skymap_background():
-    """SKYMAP scenes run the forward-only miss-record path: the kernel
-    returns (radiance, miss dir, miss throughput) and the driver adds
+    """SKYMAP scenes run the miss-record path: the kernel returns
+    (radiance, miss dir, miss throughput) and the driver adds
     throughput * sky(dir) with one batched XLA gather.  Must agree with
-    the XLA engine like the other backgrounds."""
+    the XLA engine like the other backgrounds — and since the records ride
+    the custom_vjp, supports() (differentiable) now includes SKYMAP."""
     rs = np.random.RandomState(5)
     img = (0.2 + rs.rand(8, 16, 3) ** 2).astype(np.float32)
     img[1, 3] = (9.0, 7.0, 5.0)  # bright sun texel
     b = benchmark_like_builder(bg=Background.skymap_from_array(img))
     scene = b.build(with_bvh=False)
-    assert PK.supports_fwd(scene) and not PK.supports(scene)
+    assert PK.supports_fwd(scene) and PK.supports(scene)
     xla = np.asarray(render_linear(scene, 24, 20, seed=0, engine="xla"))
     pal = np.asarray(render_linear(scene, 24, 20, seed=0, engine="pallas"))
     # most channels are EXACTLY equal; the rest are isolated borderline-hit
@@ -260,6 +265,68 @@ def test_pallas_skymap_background():
     mismatched = (~np.isclose(xla, pal, atol=1e-4, rtol=1e-3)).mean()
     assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
     assert np.abs(xla - pal).mean() < 4e-2
+
+
+def test_pallas_skymap_grad_matches_xla():
+    """SKYMAP differentiability through the custom_vjp pair: the 6 miss-
+    record outputs carry the equirect gather's cotangents (throughput terms)
+    into the fused backward kernel.  Gradients w.r.t. material albedo
+    (kernel-side) AND the sky texels (_env_finish-side) must match XLA."""
+    import dataclasses
+
+    rs = np.random.RandomState(7)
+    img0 = (0.2 + rs.rand(6, 12, 3) ** 2).astype(np.float32)
+    b = benchmark_like_builder(bg=Background.skymap_from_array(img0))
+    b.settings = dataclasses.replace(b.settings, samples_per_pixel=2,
+                                     max_ray_depth=3)
+    scene = b.build(with_bvh=False)
+    assert PK.supports(scene)
+
+    def make_loss(engine):
+        def loss(p):
+            mats = dataclasses.replace(
+                scene.materials,
+                albedo=scene.materials.albedo.at[0].set(p["albedo"]))
+            bg = dataclasses.replace(scene.background, image=p["sky"])
+            s2 = dataclasses.replace(scene, materials=mats, background=bg)
+            img = render_linear(s2, 16, 12, seed=0, engine=engine)
+            return jnp.sum(img ** 2)
+        return loss
+
+    p0 = {"albedo": jnp.array([0.7, 0.4, 0.2], jnp.float32),
+          "sky": jnp.asarray(img0)}
+    v_x = float(make_loss("xla")(p0))
+    loss_p = jax.jit(make_loss("pallas"))
+    v_p, g_p = jax.jit(jax.value_and_grad(make_loss("pallas")))(p0)
+    # engines agree up to borderline-hit flips (a flipped sample under a
+    # bright sky texel moves the sum-of-squares loss by ~1%)
+    np.testing.assert_allclose(float(v_p), v_x, rtol=3e-2)
+
+    # AD of the custom_vjp vs central finite differences of the SAME
+    # (pallas) loss — exact up to f32 noise, immune to engine flips.
+    # Albedo: all 3 components; sky: a handful of texels.
+    eps = 1e-3
+
+    def fd(path, idx):
+        def bump(sign):
+            p = dict(p0)
+            p[path] = p0[path].at[idx].add(sign * eps)
+            return float(loss_p(p))
+        return (bump(+1) - bump(-1)) / (2 * eps)
+
+    for i in range(3):
+        want = fd("albedo", i)
+        got = float(g_p["albedo"][i])
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-2)
+    checked_nonzero = 0
+    for (y, x, c) in [(0, 0, 0), (2, 5, 1), (5, 11, 2), (3, 7, 0)]:
+        want = fd("sky", (y, x, c))
+        got = float(g_p["sky"][y, x, c])
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=1e-2)
+        checked_nonzero += abs(got) > 0
+    # the sky-texel gradient must actually be live (gather cotangents flow)
+    assert checked_nonzero >= 1
+    assert float(jnp.abs(g_p["sky"]).sum()) > 0.0
 
 
 def test_make_loss_fit_path_via_pallas():

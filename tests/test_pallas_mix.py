@@ -32,7 +32,7 @@ from raytracingrust_tpu.render.render import render_linear
 def _mix_sphere_scene(spp=2, depth=4, unit_scale=True):
     """Mix + isotropic sphere scene.  ``unit_scale`` keeps all spheres
     small so the kernel's direct quadratic and XLA's matmul expansion agree
-    bitwise (test_pallas.py:test_pallas_bit_identical_unit_scale); with a
+    bitwise (test_pallas.py:test_pallas_near_bit_identical_unit_scale); with a
     radius-100 ground the acne re-hit near tmin can flip per sample."""
     b = SceneBuilder()
     b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.2)
