@@ -84,21 +84,31 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
     # differentiable engine qualifies.  The brute kernel differentiates
     # everything in its envelope INCLUDING skymap scenes (miss records ride
     # the custom_vjp; _env_finish's gather cotangents enter the fused
-    # backward).  Scenes beyond it fall to the XLA reverse path.
+    # backward).  Scenes beyond it take the packet-traversal BVH kernel,
+    # whose backward is the record-and-replay path (ops/pallas_megakernel
+    # _bvh_cvjp + diff/replay.py).  Only scenes NO kernel admits fall to
+    # the XLA reverse path.
     if engine == "auto":
         import jax as _jax
 
-        from ..ops.pallas_megakernel import supports
+        from ..ops.pallas_megakernel import supports, supports_bvh
         from ..render.render import TPU_MAX_BRUTE_TRIS
 
         # The fused grad kernel's VMEM envelope is tighter than supports():
         # triangle-chunk matmul residuals are retained per bounce under
         # jax.vjp, and already the FORWARD kernel measured over the scoped-
         # VMEM limit at 4,096 tris (render.py:TPU_MAX_BRUTE_TRIS).  Bigger
-        # triangle fits keep the XLA reverse path.
+        # triangle fits use the BVH record-and-replay path.
         on_tpu = _jax.devices()[0].platform != "cpu"
         fits = supports(scene) and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS
-        engine = "pallas" if (fits and on_tpu) else "xla"
+        if not on_tpu:
+            engine = "xla"
+        elif fits:
+            engine = "pallas"
+        elif supports_bvh(scene):
+            engine = "pallas_bvh"
+        else:
+            engine = "xla"
 
     def loss(params: dict, key=None):
         s = apply_params(scene, params)

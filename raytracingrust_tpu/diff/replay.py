@@ -1,0 +1,147 @@
+"""Differentiable shading replay over recorded BVH-kernel hits.
+
+The packet-traversal Pallas kernel (ops/pallas_megakernel.py) is forward
+control flow — its traversal while_loop has no AD rule.  But the gradient
+estimator already DETACHES discrete hit decisions (diff/grad.py docstring),
+so exact parameter gradients only need the *shading chain* re-run over the
+hits the kernel found.  The kernel's record mode writes, per bounce, the
+winning primitive's chunk-permutation slot (sphere-tree slots first,
+triangle slots offset by the sphere span; -1 = miss); this module replays
+the bounce chain over those fixed hits in plain XLA:
+
+  * hit t / normals are RECOMPUTED from the recorded primitive's parameters
+    (direct quadratic / Moller-Trumbore forms — the same arithmetic as the
+    kernel's leaf intersectors), so geometry gradients (sphere center and
+    radius, triangle vertices) flow;
+  * material shading reuses ops/shade.py's branchless lobes with the same
+    counter-based uniforms the kernel consumed, so directions and
+    throughput match the kernel's to f32 arithmetic order;
+  * one (R,)-sized gather per bounce replaces a traversal per bounce —
+    this is what makes mesh/BVH-class inverse rendering run at Pallas
+    speed instead of the dense XLA intersector's.
+
+Reference semantics per bounce: trace_ray (lib/core/render.rs:32-59);
+the replay is the recursion's multiply chain with hits pinned.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..models.scene import MODE_CLAY, Scene
+from ..ops import shade as shade_ops
+from ..ops.intersect import TRI_DET_EPS
+from ..utils import rng, vec
+from ..utils.types import T_MIN
+
+
+def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
+                    width: int, height: int):
+    """(R, max_depth) winner records -> per-ray radiance (R, 3).
+
+    Differentiable in every material / camera / background / geometry leaf
+    of ``scene``.  ``key_words``: the kernel's (2,) seed words (iparams);
+    ``ray_ids``/``px``/``py``: flat (R,) ray metadata exactly as fed to the
+    kernel (global ids keep the RNG byte-identical to the kernel's draws).
+    """
+    cb = scene.cbvh
+    key = jnp.asarray(key_words).astype(jnp.uint32)
+    lf = cb.leaf_size
+    sph_span = cb.n_sph_chunks * lf
+    tri_span = cb.n_tri_chunks * lf
+    settings = scene.settings
+    clay = settings.mode == MODE_CLAY
+    max_depth = settings.max_ray_depth
+
+    # camera ray: the kernel's exact arithmetic (multiply by 1/(dim-1))
+    inv_w = 1.0 / (width - 1)
+    inv_h = 1.0 / (height - 1)
+    j = rng.ray_uniforms(key, ray_ids, 0, 2)
+    s = (px + j[:, 0]) * inv_w
+    t = (py + j[:, 1]) * inv_h
+    o, d = scene.camera.get_rays(s, t)
+
+    thr = jnp.ones_like(o)
+    rad = jnp.zeros_like(o)
+    alive = jnp.ones(o.shape[:-1], bool)
+
+    # permutation slot -> original primitive id (pad slots clamp to 0; a
+    # pad lane never wins so the dummy gather is always masked out)
+    sph_perm = jnp.maximum(cb.sph_perm, 0) if sph_span else None
+    tri_perm = jnp.maximum(cb.tri_perm, 0) if tri_span else None
+
+    for b in range(max_depth):
+        u = rng.ray_uniforms(key, ray_ids, 1 + b, 4)
+        code = rec[:, b]
+        hit = alive & (code >= 0)
+        is_sph = hit & (code < sph_span)
+        is_tri = hit & (code >= sph_span)
+
+        a = vec.length_squared(d)
+        t_hit = jnp.ones(code.shape, jnp.float32)
+        n_out = jnp.zeros_like(o)
+        mid = jnp.zeros(code.shape, jnp.int32)
+        if sph_span:
+            sidx = sph_perm[jnp.clip(code, 0, sph_span - 1)]
+            c = scene.spheres.center[sidx]
+            r = scene.spheres.radius[sidx]
+            oc = o - c
+            hb = vec.dot(oc, d)
+            cq = vec.length_squared(oc) - r * r
+            disc = hb * hb - a * cq
+            # double-where: non-selected lanes keep a dummy positive disc
+            # so sqrt never sees 0/negative under the vjp
+            dsafe = jnp.where(is_sph, jnp.maximum(disc, 1e-24), 1.0)
+            sq = jnp.sqrt(dsafe)
+            t1 = (-hb - sq) / a
+            t2 = (-hb + sq) / a
+            # winner root rule (see _sphere_chunk_hit): the accepted t of
+            # the WINNING sphere is the near root when >= T_MIN, else the
+            # far root (a near root beyond the best-so-far t implies the
+            # far root is too, so that sphere cannot have won)
+            t_s = jnp.where(t1 >= T_MIN, t1, t2)
+            t_hit = jnp.where(is_sph, t_s, t_hit)
+            mid = jnp.where(is_sph, scene.spheres.material[sidx], mid)
+        if tri_span:
+            tidx = tri_perm[jnp.clip(code - sph_span, 0, tri_span - 1)]
+            tris = scene.triangles
+            v0 = tris.v0[tidx]
+            e1 = tris.e1[tidx]
+            e2 = tris.e2[tidx]
+            h = vec.cross(d, e2)
+            at = vec.dot(e1, h)
+            f = 1.0 / jnp.where(jnp.abs(at) > TRI_DET_EPS, at, 1.0)
+            sv = o - v0
+            q = vec.cross(sv, e1)
+            t_t = f * vec.dot(e2, q)
+            t_hit = jnp.where(is_tri, t_t, t_hit)
+            mid = jnp.where(is_tri, tris.material[tidx], mid)
+
+        t_safe = jnp.where(hit, t_hit, 1.0)
+        point = o + t_safe[:, None] * d
+        if sph_span:
+            n_s = (point - c) / r[:, None]
+            n_out = jnp.where(is_sph[:, None], n_s, n_out)
+        if tri_span:
+            n_out = jnp.where(is_tri[:, None], tris.normal[tidx], n_out)
+
+        # background on miss (lib/core/render.rs:57); for SKYMAP the
+        # equirect gather is differentiable w.r.t. the sky texels
+        missed = alive & (code < 0)
+        bg_rad = scene.background.sample(d)
+        rad = rad + jnp.where(missed[:, None], thr * bg_rad, 0.0)
+
+        # front-face flip + branchless lobes (same uniforms as the kernel)
+        front = vec.dot(d, n_out) < 0.0
+        n = jnp.where(front[:, None], n_out, -n_out)
+        atten, new_dir, scatters = shade_ops.scatter(
+            scene.materials, mid, d, n, front, u, clay=clay)
+
+        terminal = hit & ~scatters
+        rad = rad + jnp.where(terminal[:, None], thr * atten, 0.0)
+        cont = hit & scatters
+        thr = jnp.where(cont[:, None], thr * atten, thr)
+        o = jnp.where(cont[:, None], point, o)
+        d = jnp.where(cont[:, None], new_dir, d)
+        alive = cont
+    return rad

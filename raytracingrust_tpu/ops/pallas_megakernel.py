@@ -574,7 +574,8 @@ def _to_sublanes(m):
         preferred_element_type=jnp.float32)
 
 
-def _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows):
+def _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows,
+                      code=None, code_rows=None):
     """Reassemble the (8, 256) carries from per-row merge results."""
     t_best = jnp.concatenate(tb_rows, axis=0)
     win = jnp.concatenate(win_rows, axis=0)
@@ -584,14 +585,19 @@ def _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows):
             [jnp.where(imp, p[j:j + 1], par[j][r:r + 1])
              for r, (imp, p) in enumerate(par_rows)],
             axis=0))
-    return t_best, tuple(new_par), win
+    if code is None:
+        return t_best, tuple(new_par), win
+    return t_best, tuple(new_par), win, jnp.concatenate(code_rows, axis=0)
 
 
 def _merge_leaf_rows(ti, s_m, t_best, par, win, win_val, r,
-                     tb_rows, par_rows, win_rows):
+                     tb_rows, par_rows, win_rows,
+                     code=None, code_val=None, code_rows=None):
     """Per-row winner selection + one-hot shading fetch, appended to the
     row accumulators.  ``ti`` is (128, cols) candidate distances (inf =
-    miss) for sublane-row ``r``."""
+    miss) for sublane-row ``r``.  With ``code`` (record mode) the winner's
+    GLOBAL chunk-slot id (code_val + in-chunk lane) is tracked too — the
+    hit record the differentiable replay consumes (diff/replay.py)."""
     hi = jax.lax.Precision.HIGHEST
     lf = BVH_LEAF
     cols = ti.shape[1]
@@ -608,9 +614,13 @@ def _merge_leaf_rows(ti, s_m, t_best, par, win, win_val, r,
     tb_rows.append(jnp.where(improved, t_min, tb_r))
     par_rows.append((improved, p))
     win_rows.append(jnp.where(improved, win_val, win[r:r + 1]))
+    if code is not None:
+        code_rows.append(jnp.where(improved, code_val + winner,
+                                   code[r:r + 1]))
 
 
-def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win):
+def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win,
+                      code=None, code_base=0):
     """Intersect one 128-sphere chunk against the whole ray block, merging
     winners into (t_best, par, win).  Direct (o - c) quadratic with the
     Sphere::hit root rule (lib/objects.rs:38-45): near root if in
@@ -628,7 +638,8 @@ def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win):
     live = rad > 0.0                                       # padding lanes
     ox, oy, oz = o3
     dx, dy, dz = d3
-    tb_rows, par_rows, win_rows = [], [], []
+    code_val = chunk * BVH_LEAF + code_base if code is not None else None
+    tb_rows, par_rows, win_rows, code_rows = [], [], [], []
     for r in range(t_best.shape[0]):
         def row(v, r=r):
             return v[r:r + 1, :]
@@ -648,11 +659,14 @@ def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win):
         ti = jnp.where(ok & live & t1ok, t1,
                        jnp.where(ok & live & t2ok, t2, jnp.inf))
         _merge_leaf_rows(ti, s_m, t_best, par, win, 1.0, r,
-                         tb_rows, par_rows, win_rows)
-    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows)
+                         tb_rows, par_rows, win_rows,
+                         code, code_val, code_rows)
+    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows,
+                             code, code_rows)
 
 
-def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win):
+def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win,
+                   code=None, code_base=0):
     """Intersect one 128-triangle chunk against the whole ray block —
     direct cross-product Moller-Trumbore (same arithmetic as the XLA BVH
     path's gather_triangle_t), merging winners."""
@@ -669,7 +683,8 @@ def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win):
     e2x, e2y, e2z = col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2)
     ox, oy, oz = o3
     dx, dy, dz = d3
-    tb_rows, par_rows, win_rows = [], [], []
+    code_val = chunk * BVH_LEAF + code_base if code is not None else None
+    tb_rows, par_rows, win_rows, code_rows = [], [], [], []
     for r in range(t_best.shape[0]):
         def row(v, r=r):
             return v[r:r + 1, :]
@@ -694,13 +709,15 @@ def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win):
                  & (u + v <= 1.0) & (tt > T_MIN) & (tt <= tb_r))
         ti = jnp.where(valid, tt, jnp.inf)
         _merge_leaf_rows(ti, s_m, t_best, par, win, 0.0, r,
-                         tb_rows, par_rows, win_rows)
-    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows)
+                         tb_rows, par_rows, win_rows,
+                         code, code_val, code_rows)
+    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows,
+                             code, code_rows)
 
 
 def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
                    ox, oy, oz, inv_dx, inv_dy, inv_dz, alive,
-                   t_best, par, win):
+                   t_best, par, win, code=None):
     """Packet traversal of one chunk-leaf skip-link tree.
 
     One scalar cursor for the whole ray block; per node a vectorized slab
@@ -710,13 +727,22 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
     miss link).  A ray that missed a node AABB may still be tested against
     that leaf's chunk — harmless: a conservative box miss means the exact
     primitive test rejects it (or legitimately accepts a real hit).
+
+    ``code`` (record mode): an extra (8, 256) int32 carry holding each
+    ray's winning chunk-slot id, updated by the leaf merges — the hit
+    record consumed by the differentiable replay (diff/replay.py).
     """
+    with_code = code is not None
 
     def cond(state):
         return state[0] < k_nodes
 
     def body(state):
-        node, t_best, par, win = state
+        if with_code:
+            node, t_best, par, win, code = state
+        else:
+            node, t_best, par, win = state
+            code = None
         fb = node * 6
         lo_x = nodes_f[fb + 0]
         lo_y = nodes_f[fb + 1]
@@ -745,22 +771,25 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
         any_hit = jnp.max(jnp.where(boxhit, 1.0, 0.0)) > 0.0
 
         def take(op):
-            tb, pr, wn = op
-            return leaf_fn(chunk, tb, pr, wn)
+            return leaf_fn(chunk, *op)
 
-        t_best, par, win = jax.lax.cond(
-            any_hit & (chunk >= 0), take, lambda op: op, (t_best, par, win))
+        op = (t_best, par, win) + ((code,) if with_code else ())
+        res = jax.lax.cond(any_hit & (chunk >= 0), take, lambda op: op, op)
         node = jnp.where(any_hit, hit_l, miss_l)
-        return node, t_best, par, win
+        return (node,) + tuple(res)
 
-    _, t_best, par, win = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t_best, par, win))
-    return t_best, par, win
+    init = (jnp.int32(0), t_best, par, win) + (
+        (code,) if with_code else ())
+    out = jax.lax.while_loop(cond, body, init)
+    if with_code:
+        return out[1], out[2], out[3], out[4]
+    return out[1], out[2], out[3]
 
 
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
-                   tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0):
+                   tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0,
+                   record_ref=None):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -781,6 +810,11 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     two baked leaf-parameter sets blended by the level-0 mix coin
     (lib/materials.rs:149-156 semantics; nested mixes are gated out by
     supports()).
+    ``record_ref``: BVH record mode — an (8, max_depth * 256) int32 output
+    ref receiving each bounce's winning chunk-slot id per ray (sphere tree
+    slots first, triangle slots offset by the sphere span; -1 = miss).
+    Requires ``unrolled`` (the per-bounce write index must be static); the
+    records feed the differentiable shading replay (diff/replay.py).
     Returns (rad_r, rad_g, rad_b); with ``bg_kind == SKYMAP`` additionally
     (mdx, mdy, mdz, mt_r, mt_g, mt_b) — the MISS direction and throughput
     recorded when each path escaped (zeros if it never did), for the
@@ -999,7 +1033,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         # after one bounce instead of running all max_depth iterations
         # (docs/performance.md "dead-lane waste").  The liveness mask rides
         # the carry as f32 (Mosaic dislikes i1 loop state).
-        def bounce_body(state):
+        def bounce_body(state, record_slot=None):
             (b, ox, oy, oz, dx, dy, dz,
              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
              *miss, alive_f) = state
@@ -1025,6 +1059,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
 
             if bvh is not None:
                 # ---- intersect: chunk-leaf packet traversal (big scenes)
+                record = record_slot is not None
                 o3 = (ox, oy, oz)
                 d3 = (dx, dy, dz)
                 inv_dx = 1.0 / dx
@@ -1033,28 +1068,44 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 t_best = jnp.full_like(dx, jnp.inf)
                 par = tuple(zero for _ in range(16))
                 win = zero
+                code = (jnp.full(dx.shape, -1, jnp.int32) if record
+                        else None)
+                sph_span = 0
                 if bvh.get("sph") is not None:
                     nf, ni, k_n, s_ref = bvh["sph"]
+                    sph_span = (s_ref.shape[0] // 16) * BVH_LEAF
 
-                    def sph_leaf(chunk, tb, pr, wn, s_ref=s_ref, a=a):
-                        return _sphere_chunk_hit(s_ref, chunk, o3, d3,
-                                                 a, tb, pr, wn)
+                    def sph_leaf(chunk, tb, pr, wn, *cd, s_ref=s_ref, a=a):
+                        return _sphere_chunk_hit(
+                            s_ref, chunk, o3, d3, a, tb, pr, wn,
+                            code=cd[0] if cd else None, code_base=0)
 
-                    t_best, par, win = _traverse_tree(
+                    res = _traverse_tree(
                         nf, ni, k_n, sph_leaf, ox, oy, oz,
-                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win,
+                        code=code)
+                    (t_best, par, win), code = res[:3], (res[3] if record
+                                                         else None)
                 if bvh.get("tri") is not None:
                     nf, ni, k_n, g_ref, s_ref = bvh["tri"]
 
-                    def tri_leaf(chunk, tb, pr, wn, g_ref=g_ref,
-                                 s_ref=s_ref):
-                        return _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3,
-                                              tb, pr, wn)
+                    def tri_leaf(chunk, tb, pr, wn, *cd, g_ref=g_ref,
+                                 s_ref=s_ref, base=sph_span):
+                        return _tri_chunk_hit(
+                            g_ref, s_ref, chunk, o3, d3, tb, pr, wn,
+                            code=cd[0] if cd else None, code_base=base)
 
-                    t_best, par, win = _traverse_tree(
+                    res = _traverse_tree(
                         nf, ni, k_n, tri_leaf, ox, oy, oz,
-                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win,
+                        code=code)
+                    (t_best, par, win), code = res[:3], (res[3] if record
+                                                         else None)
                 hit = t_best < jnp.inf
+                if record:
+                    record_ref[:, record_slot * BLOCK_COLS:
+                               (record_slot + 1) * BLOCK_COLS] = (
+                        jnp.where(hit, code, -1))
 
                 safe_t = jnp.where(hit, t_best, 1.0)
                 ptx = ox + safe_t * dx
@@ -1316,11 +1367,37 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         miss0 = (zero,) * 6 if skymap else ()
         state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                  one, one, one, zero, zero, zero, *miss0, one)
+        assert record_ref is None or unrolled, \
+            "record mode needs the unrolled chain (static write slots)"
         if unrolled or os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
-            # static chain: required under vjp; also the perf-ablation knob
-            # (measured equal on benchmark.json — docs/performance.md)
-            for _ in range(max_depth):
-                state = bounce_body(state)
+            # Static chain: required under vjp; also the perf-ablation knob
+            # (measured equal on benchmark.json — docs/performance.md).
+            # Each bounce after the first runs under lax.cond on "any lane
+            # alive" — the unrolled chain's equivalent of the while_loop's
+            # all-dead early-out.  lax.cond is differentiable, so the fused
+            # grad kernel's forward-replay AND its transposed backward both
+            # skip dead-block bounces (sky-heavy blocks stop paying
+            # max_depth; this is where the fwd+bwd headline lived).
+            if record_ref is not None:
+                # skipped bounces must leave well-defined records
+                record_ref[...] = jnp.full(record_ref.shape, -1, jnp.int32)
+            for bi in range(max_depth):
+                # the bounce counter stays OUT of the cond carry (a static
+                # int per unrolled step; an int32 inside a differentiated
+                # cond does not legalize in Mosaic)
+                def live_bounce(rest, bi=bi):
+                    out = bounce_body(
+                        (jnp.int32(bi),) + tuple(rest),
+                        record_slot=bi if record_ref is not None else None)
+                    return tuple(out[1:])
+
+                if bi == 0:
+                    state = (jnp.int32(1),) + live_bounce(state[1:])
+                else:
+                    rest = jax.lax.cond(
+                        jnp.max(state[-1]) > 0.0, live_bounce,
+                        lambda s: tuple(s), tuple(state[1:]))
+                    state = (jnp.int32(bi + 1),) + tuple(rest)
         else:
             state = jax.lax.while_loop(bounce_cond, bounce_body, state)
         if skymap:
@@ -1845,10 +1922,13 @@ def _bvh_kinds(scene: Scene) -> tuple:
                         | set(_tri_kinds(scene))))
 
 
-def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
+def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
+                     record=False):
     """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
     ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
-    ride VMEM."""
+    ride VMEM.  ``record``: additionally write the per-bounce winner-slot
+    record (last output ref; unrolled chain) for the differentiable
+    replay."""
     has_sph = k_sph > 0
     has_tri = k_tri > 0
 
@@ -1869,6 +1949,10 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
             refs = refs[2:]
         ray_id_ref, px_ref, py_ref = refs[:3]
         outs = refs[3:]
+        rec_ref = None
+        if record:
+            rec_ref = outs[-1]
+            outs = outs[:-1]
 
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
@@ -1880,8 +1964,9 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
         vals = _radiance_math(
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=0, max_depth=max_depth, sphere_kinds=(),
-            bg_kind=bg_kind, clay=clay, unrolled=False,
+            bg_kind=bg_kind, clay=clay, unrolled=record,
             tri=None, tri_kinds=kinds, bvh={"sph": sph, "tri": tri_},
+            record_ref=rec_ref,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -1891,8 +1976,10 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri):
 
 @functools.lru_cache(maxsize=32)
 def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
-              n_sph_chunks, n_tri_chunks, k_sph, k_tri):
-    """pallas_call wrapper for one static BVH-kernel configuration."""
+              n_sph_chunks, n_tri_chunks, k_sph, k_tri, record=False):
+    """pallas_call wrapper for one static BVH-kernel configuration.
+    ``record`` appends an (rows, max_depth * 256) int32 output holding the
+    per-bounce winner records."""
     shape2d = (rows, BLOCK_COLS)
     grid = rows // BLOCK_ROWS
     block = pl.BlockSpec(
@@ -1914,66 +2001,143 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     in_specs += [block, block, block]
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
-    kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri)
+    kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
+                              record=record)
+    out_specs = [block] * n_out
+    out_shape = [out] * n_out
+    if record:
+        out_specs.append(pl.BlockSpec(
+            (BLOCK_ROWS, max_depth * BLOCK_COLS), lambda i, *_: (i, 0),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (rows, max_depth * BLOCK_COLS), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 + 2 * bool(n_sph_chunks) + 2 * bool(
             n_tri_chunks),
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=[block] * n_out,
+        out_specs=out_specs,
     )
 
     def run(iparams, fparams, scal, tens, ray_ids, px, py):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=[out] * n_out,
+            out_shape=out_shape,
             interpret=interpret,
         )(iparams, fparams, *scal, *tens, ray_ids, px, py)
 
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
+              n_sph_chunks, n_tri_chunks, k_sph, k_tri,
+              width, height, n_rays):
+    """custom_vjp-wrapped BVH-kernel radiance for one static configuration.
+
+    Primal: the packet-traversal forward kernel (while-loop traversal, no
+    AD rule needed).  Under differentiation the fwd pass runs the RECORD
+    variant (per-bounce winner-slot records) and the backward is ``jax.vjp``
+    of the XLA shading REPLAY over those records (diff/replay.py) — exact
+    detached-hit gradients at a gather per bounce instead of the dense XLA
+    intersector.  The whole Scene pytree is the differentiable operand.
+    """
+
+    def prep(scene, width=width, height=height):
+        cb = scene.cbvh
+        fparams = _pack_fparams(scene, width, height, with_spheres=False)
+        scal, tens = [], []
+        if cb.n_sph_chunks:
+            scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+            tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+        if cb.n_tri_chunks:
+            scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+            tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+        return fparams, scal, tens
+
+    def finish(scene, outs):
+        if bg_kind == B.SKYMAP:
+            return _env_finish(scene, outs, n_rays)
+        rad_r, rad_g, rad_b = outs
+        return jnp.stack(
+            [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)],
+            axis=-1,
+        )[:n_rays]
+
+    args = (max_depth, kinds, bg_kind, clay, rows, interpret,
+            n_sph_chunks, n_tri_chunks, k_sph, k_tri)
+    run_fwd = _bvh_call(*args)
+    run_rec = _bvh_call(*args, record=True)
+
+    @jax.custom_vjp
+    def radiance(scene, iparams, ray_ids, px, py):
+        fparams, scal, tens = prep(scene)
+        outs = run_fwd(iparams, fparams, scal, tens, ray_ids, px, py)
+        return finish(scene, outs)
+
+    def radiance_fwd(scene, iparams, ray_ids, px, py):
+        fparams, scal, tens = prep(scene)
+        *outs, rec = run_rec(iparams, fparams, scal, tens, ray_ids, px, py)
+        primal = finish(scene, outs)
+        # (rows, depth*256) lane-sliced records -> (n_rays, depth)
+        rec = rec.reshape(rows, max_depth, BLOCK_COLS)
+        rec = rec.transpose(0, 2, 1).reshape(rows * BLOCK_COLS,
+                                             max_depth)[:n_rays]
+        return primal, (scene, rec, iparams, ray_ids, px, py)
+
+    def radiance_bwd(res, ct):
+        from ..diff.replay import replay_radiance
+
+        scene, rec, iparams, ray_ids, px, py = res
+        flat = lambda v: v.reshape(-1)[:n_rays]
+
+        def rp(s):
+            return replay_radiance(s, rec, iparams, flat(ray_ids),
+                                   flat(px), flat(py), width, height)
+
+        _, vjp_fn = jax.vjp(rp, scene)
+        (dscene,) = vjp_fn(ct)
+        f0 = jax.dtypes.float0
+        return (dscene,
+                np.zeros(iparams.shape, f0),
+                np.zeros(ray_ids.shape, f0),
+                jnp.zeros_like(px), jnp.zeros_like(py))
+
+    radiance.defvjp(radiance_fwd, radiance_bwd)
+    return radiance
+
+
 def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
                               height: int, iparams, *,
                               kinds: tuple | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              sample_offset=0,
+                              n_samples: int | None = None):
     """Mean clamped radiance per pixel -> (P, 3) via the packet-traversal
     kernel — the fast path for scenes beyond :func:`supports`' brute-force
-    limits (gated by :func:`supports_bvh`).  Forward-only: the traversal
-    while_loop is control flow and has no AD rule; differentiable fits of
-    big scenes use the XLA engine (diff/grad.py resolves this statically).
+    limits (gated by :func:`supports_bvh`).  DIFFERENTIABLE: the traversal
+    while_loop itself has no AD rule, so under ``jax.grad`` the forward
+    records per-bounce winner slots and the backward replays the shading
+    chain over them in XLA (_bvh_cvjp / diff/replay.py).
+    ``sample_offset``/``n_samples`` restrict to a sample slice (spp
+    sharding, parallel/distributed.py); the mean is over the LOCAL slice.
     """
     cb = scene.cbvh
     if kinds is None:
         kinds = _bvh_kinds(scene)
     spp = scene.settings.samples_per_pixel
     p = pixel_ids.shape[0]
-    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width)
-    fparams = _pack_fparams(scene, width, height, with_spheres=False)
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width,
+                                               sample_offset, n_samples)
+    n_local = n_samples if n_samples is not None else spp
 
-    scal, tens = [], []
-    if cb.n_sph_chunks:
-        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
-        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
-    if cb.n_tri_chunks:
-        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
-        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
-
-    run = _bvh_call(
+    radiance_fn = _bvh_cvjp(
         scene.settings.max_ray_depth, kinds, scene.background.kind,
         scene.settings.mode == MODE_CLAY, rows, interpret,
         cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
+        width, height, n_rays,
     )
-    outs = run(iparams, fparams, scal, tens, ray_ids, px, py)
-
-    if scene.background.kind == B.SKYMAP:
-        radiance = _env_finish(scene, outs, n_rays)
-    else:
-        rad_r, rad_g, rad_b = outs
-        radiance = jnp.stack(
-            [rad_r.reshape(-1), rad_g.reshape(-1), rad_b.reshape(-1)],
-            axis=-1,
-        )[:n_rays]
+    radiance = radiance_fn(scene, iparams, ray_ids, px, py)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
-    return radiance.reshape(p, spp, 3).mean(axis=1)
+    return radiance.reshape(p, n_local, 3).mean(axis=1)

@@ -291,3 +291,186 @@ def test_bvh_kernel_gradient_background():
     b.background = Background.gradient((0.2, 0.3, 0.8), (1.0, 1.0, 0.9))
     scene = b.build(with_bvh=True)
     assert_matches_xla(scene)
+
+
+# ---------------------------------------------- differentiable (record+replay)
+#
+# The packet-traversal while_loop has no AD rule; under jax.grad the kernel
+# runs in RECORD mode (per-bounce winner slots) and the backward is the vjp
+# of the XLA shading replay over those records (diff/replay.py).  Because
+# finite differences of the LOSS probe the kernel primal while AD
+# differentiates the replay, an FD-vs-AD match also certifies that the
+# replay reproduces the kernel's radiance in a neighborhood.
+
+def _bvh_loss_factory(scene, w=12, h=12):
+    import dataclasses
+
+    def loss(p):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0].set(p["albedo"]))
+        sph = scene.spheres
+        if "c0" in p:
+            sph = dataclasses.replace(
+                sph, center=sph.center.at[0].set(p["c0"]))
+        s2 = dataclasses.replace(scene, materials=mats, spheres=sph)
+        img = render_linear(s2, w, h, seed=0, engine="pallas_bvh")
+        return jnp.sum(img ** 2)
+
+    return loss
+
+
+def test_bvh_grad_fd_spheres():
+    """AD (record+replay) vs central finite differences of the pallas_bvh
+    loss — material albedo (hit-set independent, clean FD) and sphere
+    center (geometry grads through the recomputed quadratic)."""
+    scene = grid_builder(n=6, depth=3, spp=1).build(with_bvh=True)
+    assert PK.supports_bvh(scene) and not PK.supports(scene)
+    loss = _bvh_loss_factory(scene)
+    p0 = {"albedo": jnp.array([0.7, 0.3, 0.2], jnp.float32),
+          "c0": scene.spheres.center[0]}
+    loss_j = jax.jit(loss)
+    g = jax.jit(jax.grad(loss))(p0)
+
+    def fd(path, idx, eps):
+        def bump(sign):
+            p = {k: v for k, v in p0.items()}
+            p[path] = p0[path].at[idx].add(sign * eps)
+            return float(loss_j(p))
+        return (bump(+1) - bump(-1)) / (2 * eps)
+
+    checked = 0
+    for i in range(3):
+        want = fd("albedo", i, 1e-3)
+        got = float(g["albedo"][i])
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=5e-3)
+        checked += abs(got) > 1e-6
+    assert checked >= 2, "albedo gradient should be live"
+    # geometry: one center component; FD crosses no visibility edge at
+    # this scale but the stale-AABB cull makes it slightly noisier
+    want = fd("c0", 0, 1e-3)
+    got = float(g["c0"][0])
+    np.testing.assert_allclose(got, want, rtol=2e-1, atol=5e-2)
+
+
+def test_bvh_grad_matches_xla_mesh():
+    """Triangle-scene gradients through the record+replay path vs the XLA
+    engine (same detached-hit estimator; winners agree except borderline
+    flips, so compare with a flip-tolerant relative error)."""
+    import dataclasses
+
+    scene = mesh_builder(n_side=8, depth=3, spp=1).build(with_bvh=True)
+    assert PK.supports_bvh(scene)
+
+    def make_loss(engine):
+        def loss(albedo):
+            mats = dataclasses.replace(
+                scene.materials,
+                albedo=scene.materials.albedo.at[0].set(albedo))
+            s2 = dataclasses.replace(scene, materials=mats)
+            img = render_linear(s2, 12, 12, seed=0, engine=engine)
+            return jnp.sum(img ** 2)
+        return loss
+
+    a0 = jnp.array([0.6, 0.5, 0.3], jnp.float32)
+    g_x = jax.grad(make_loss("xla"))(a0)
+    g_p = jax.grad(make_loss("pallas_bvh"))(a0)
+    err = np.abs(np.asarray(g_p) - np.asarray(g_x))
+    rel = err / (np.abs(np.asarray(g_x)) + 1e-3)
+    assert rel.max() < 5e-2, f"grad rel err {rel}"
+
+
+def test_bvh_fit_converges():
+    """End-to-end inverse rendering on a BVH-class scene: recover ONE
+    material's albedo through the record+replay custom_vjp (explicit
+    engine='pallas_bvh', the path make_loss auto-selects on TPU).
+
+    Runs EAGER: interpret-mode Pallas is ulp-sensitive to the surrounding
+    jit context, so a target rendered outside jit and a loss inside one
+    disagree on a handful of borderline paths; eager keeps every render in
+    the same (cached) compilation and the fixed-seed loss can reach ~0.
+    On a real TPU the kernels are compiled once and this caveat is moot.
+    """
+    import dataclasses
+
+    import optax
+
+    from raytracingrust_tpu.utils import rng as rng_mod
+
+    # 24x24: the n=3 grid subtends only ~4% of the frame, so a 10x10
+    # render can miss it entirely with an unlucky jitter seed
+    scene = grid_builder(n=3, depth=3, spp=1).build(with_bvh=True)
+    target = render_linear(scene, 24, 24, seed=0, engine="pallas_bvh")
+
+    def loss_fn(albedo, key):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0].set(albedo))
+        s2 = dataclasses.replace(scene, materials=mats)
+        img = render_linear(s2, 24, 24, seed=0, key=key,
+                            engine="pallas_bvh")
+        return jnp.mean((img - target) ** 2)
+
+    params = jnp.array([0.2, 0.8, 0.6], jnp.float32)
+    tx = optax.adam(0.2)
+    opt = tx.init(params)
+    vag = jax.value_and_grad(loss_fn)
+
+    history = []
+    for _ in range(30):
+        v, gr = vag(params, rng_mod.base_key(0))
+        up, opt = tx.update(gr, opt, params)
+        params = jnp.clip(optax.apply_updates(params, up), 0.0, 1.0)
+        history.append(float(v))
+    assert min(history[-5:]) < history[0] / 20, history
+    got = np.asarray(params)
+    want = np.asarray(scene.materials.albedo[0])
+    assert np.abs(got - want).max() < 0.1, (got, want)
+
+
+def test_bvh_grad_skymap():
+    """HDRI over a BVH-class scene: the replay's miss branch gathers the
+    sky texture differentiably, so sky-texel AND albedo grads flow.  FD of
+    the pallas_bvh loss (eager, cache-consistent) is ground truth."""
+    import dataclasses
+
+    from raytracingrust_tpu import Background
+
+    rs = np.random.RandomState(3)
+    img0 = (0.3 + rs.rand(6, 12, 3) ** 2).astype(np.float32)
+    b = grid_builder(n=6, depth=3, spp=1)
+    b.background = Background.skymap_from_array(img0)
+    scene = b.build(with_bvh=True)
+    assert PK.supports_bvh(scene) and not PK.supports(scene)
+
+    def loss(p):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0].set(p["albedo"]))
+        bg = dataclasses.replace(scene.background, image=p["sky"])
+        s2 = dataclasses.replace(scene, materials=mats, background=bg)
+        img = render_linear(s2, 12, 12, seed=0, engine="pallas_bvh")
+        return jnp.sum(img ** 2)
+
+    p0 = {"albedo": jnp.array([0.7, 0.3, 0.2], jnp.float32),
+          "sky": jnp.asarray(img0)}
+    g = jax.grad(loss)(p0)
+    eps = 1e-3
+
+    def fd(path, idx):
+        def bump(sign):
+            p = dict(p0)
+            p[path] = p0[path].at[idx].add(sign * eps)
+            return float(loss(p))
+        return (bump(+1) - bump(-1)) / (2 * eps)
+
+    for i in range(3):
+        np.testing.assert_allclose(float(g["albedo"][i]), fd("albedo", i),
+                                   rtol=3e-2, atol=5e-3)
+    live = 0
+    for (y, x, c) in [(1, 2, 0), (4, 9, 1), (2, 6, 2)]:
+        want = fd("sky", (y, x, c))
+        np.testing.assert_allclose(float(g["sky"][y, x, c]), want,
+                                   rtol=3e-2, atol=5e-3)
+        live += abs(want) > 0
+    assert live >= 1
