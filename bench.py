@@ -71,7 +71,8 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from raytracingrust_tpu.diff.grad import apply_params, extract_params
+    from raytracingrust_tpu.diff.grad import (apply_params, extract_params,
+                                              make_loss)
     from raytracingrust_tpu.render.render import render_linear
 
     scene = build_scene(args.scene, args.spp, args.depth)
@@ -84,14 +85,12 @@ def main(argv=None) -> int:
     params = extract_params(scene, names)
     target = jnp.zeros((h, w, 3), jnp.float32)
 
-    def loss_fn(params):
-        s = apply_params(scene, params)
-        # engine auto: the Pallas megakernel is fully differentiable (its
-        # custom_vjp backward is the fused forward-replay+vjp kernel); XLA
-        # is the fallback off-TPU / out of kernel scope
-        img = render_linear(s, w, h, seed=0, tile_rays=tile_rays,
-                            engine=args.engine)
-        return jnp.mean((img - target) ** 2)
+    # the PRODUCT fit-path loss (diff.grad.make_loss): on TPU this resolves
+    # to the fused render->MSE->grad kernel — one kernel launch per
+    # value_and_grad step (no separate forward render); off its gate it is
+    # the generic custom_vjp / XLA path
+    loss_fn = make_loss(scene, target, w, h, seed=0, tile_rays=tile_rays,
+                        engine=args.engine)
 
     if args.forward_only:
         step = jax.jit(

@@ -110,6 +110,32 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
         else:
             engine = "xla"
 
+    # Fused render->MSE->grad kernel (ops/pallas_megakernel.mse_loss_pallas):
+    # one kernel pass per value_and_grad step instead of forward + fused
+    # backward — the production fit step and the bench headline both run
+    # through here.  Falls back to the generic two-pass path off its gate
+    # (skymap, spp not dividing the lane width, beyond-brute scenes).
+    if engine == "pallas":
+        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
+                                             mse_loss_pallas,
+                                             supports_fused_mse)
+        from ..utils import rng as _rng
+
+        if supports_fused_mse(scene) and target.shape == (height, width, 3):
+            skinds = _sphere_kinds(scene)
+            tkinds = _tri_kinds(scene)
+            interpret = jax.devices()[0].platform == "cpu"
+
+            def loss(params: dict, key=None):
+                s = apply_params(scene, params)
+                k = _rng.base_key(seed) if key is None else jnp.asarray(key)
+                return mse_loss_pallas(
+                    s, target, width, height,
+                    k.astype(jnp.int32), sphere_kinds=skinds,
+                    tri_kinds=tkinds, interpret=interpret)
+
+            return loss
+
     def loss(params: dict, key=None):
         s = apply_params(scene, params)
         img = render_linear(s, width, height, seed=seed, key=key,

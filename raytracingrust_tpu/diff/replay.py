@@ -48,7 +48,9 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     key = jnp.asarray(key_words).astype(jnp.uint32)
     lf = cb.leaf_size
     sph_span = cb.n_sph_chunks * lf
+    vol_span = cb.n_vol_chunks * lf
     tri_span = cb.n_tri_chunks * lf
+    n_vol = scene.spheres.num_volumes
     settings = scene.settings
     clay = settings.mode == MODE_CLAY
     max_depth = settings.max_ray_depth
@@ -68,14 +70,16 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     # permutation slot -> original primitive id (pad slots clamp to 0; a
     # pad lane never wins so the dummy gather is always masked out)
     sph_perm = jnp.maximum(cb.sph_perm, 0) if sph_span else None
+    vol_perm = jnp.maximum(cb.vol_perm, 0) if vol_span else None
     tri_perm = jnp.maximum(cb.tri_perm, 0) if tri_span else None
 
     for b in range(max_depth):
-        u = rng.ray_uniforms(key, ray_ids, 1 + b, 4)
+        u = rng.ray_uniforms(key, ray_ids, 1 + b, 4 + n_vol)
         code = rec[:, b]
         hit = alive & (code >= 0)
         is_sph = hit & (code < sph_span)
-        is_tri = hit & (code >= sph_span)
+        is_vol = hit & (code >= sph_span) & (code < sph_span + vol_span)
+        is_tri = hit & (code >= sph_span + vol_span)
 
         a = vec.length_squared(d)
         t_hit = jnp.ones(code.shape, jnp.float32)
@@ -102,8 +106,37 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
             t_s = jnp.where(t1 >= T_MIN, t1, t2)
             t_hit = jnp.where(is_sph, t_s, t_hit)
             mid = jnp.where(is_sph, scene.spheres.material[sidx], mid)
+        if vol_span:
+            vidx = vol_perm[jnp.clip(code - sph_span, 0,
+                                     vol_span - 1)]
+            c = scene.spheres.center[vidx]
+            r = scene.spheres.radius[vidx]
+            oc = o - c
+            hb = vec.dot(oc, d)
+            cq = vec.length_squared(oc) - r * r
+            disc = hb * hb - a * cq
+            dsafe = jnp.where(is_vol, jnp.maximum(disc, 1e-24), 1.0)
+            sq = jnp.sqrt(dsafe)
+            t1 = (-hb - sq) / a
+            t2 = (-hb + sq) / a
+            # constant-density free flight over the recorded winner's
+            # boundary window (lib/volume.rs:35-73), with the winner's own
+            # free-flight uniform column — same arithmetic as
+            # _vol_chunk_hit; differentiable in center/radius/density
+            ordinal = jnp.clip(vidx - scene.spheres.num_solid, 0,
+                               max(n_vol - 1, 0))
+            uu = jnp.take_along_axis(u[:, 4:4 + max(n_vol, 1)],
+                                     ordinal[:, None], axis=1)[:, 0]
+            nid = scene.spheres.neg_inv_density[vidx]
+            ray_len = jnp.sqrt(a)
+            h1 = jnp.maximum(jnp.maximum(t1, T_MIN), 0.0)
+            hit_dist = nid * jnp.log(jnp.maximum(uu, 1e-37))
+            t_v = h1 + hit_dist / ray_len
+            t_hit = jnp.where(is_vol, t_v, t_hit)
+            mid = jnp.where(is_vol, scene.spheres.material[vidx], mid)
         if tri_span:
-            tidx = tri_perm[jnp.clip(code - sph_span, 0, tri_span - 1)]
+            tidx = tri_perm[jnp.clip(code - sph_span - vol_span, 0,
+                                     tri_span - 1)]
             tris = scene.triangles
             v0 = tris.v0[tidx]
             e1 = tris.e1[tidx]
@@ -120,8 +153,15 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         t_safe = jnp.where(hit, t_hit, 1.0)
         point = o + t_safe[:, None] * d
         if sph_span:
-            n_s = (point - c) / r[:, None]
+            sc = scene.spheres.center[sidx]
+            sr = scene.spheres.radius[sidx]
+            n_s = (point - sc) / sr[:, None]
             n_out = jnp.where(is_sph[:, None], n_s, n_out)
+        if vol_span:
+            # volume dummy normal (1, 0, 0) (lib/volume.rs:66-72)
+            n_out = jnp.where(is_vol[:, None],
+                              jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                              n_out)
         if tri_span:
             n_out = jnp.where(is_tri[:, None], tris.normal[tidx], n_out)
 

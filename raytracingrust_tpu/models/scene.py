@@ -122,9 +122,28 @@ class TriangleArray:
     e2: jnp.ndarray        # (T, 3) v2 - v0
     normal: jnp.ndarray    # (T, 3) reference face normal (flat shading, Q6)
     material: jnp.ndarray  # (T,) i32
+    # mesh-volume ordinal per triangle: -1 = ordinary surface triangle,
+    # else the triangle bounds mesh volume #v (Volume::new over an
+    # arbitrary Object, lib/volume.rs:25-31) and never shades as a surface
+    volume: jnp.ndarray = None  # (T,) i32
 
     def __len__(self):
         return self.v0.shape[0]
+
+
+@pytree_dataclass
+class MeshVolumeTable:
+    """Constant-density media bounded by triangle MESHES (the reference's
+    ``Volume::new(Box<dyn Object>)`` with a Mesh boundary,
+    lib/volume.rs:25-31).  Sphere-bounded volumes live in SphereArray;
+    this table carries the mesh-bounded ones: per volume the medium's
+    -1/density and the delegated (phase) material."""
+
+    neg_inv_density: jnp.ndarray  # (V,)
+    material: jnp.ndarray         # (V,) i32
+
+    def __len__(self):
+        return self.neg_inv_density.shape[0]
 
 
 @pytree_dataclass
@@ -164,15 +183,20 @@ class ChunkedBVH:
     the permuted primitives into per-chunk MXU constant matrices.
     """
 
-    sph_nodes_f: jnp.ndarray  # (K_s * 6,) f32
+    sph_nodes_f: jnp.ndarray  # (K_s * 6,) f32  (SOLID spheres)
     sph_nodes_i: jnp.ndarray  # (K_s * 3,) i32
     sph_perm: jnp.ndarray     # (n_sph_chunks * leaf_size,) i32
     tri_nodes_f: jnp.ndarray  # (K_t * 6,) f32
     tri_nodes_i: jnp.ndarray  # (K_t * 3,) i32
     tri_perm: jnp.ndarray     # (n_tri_chunks * leaf_size,) i32
+    # third tree: constant-density VOLUME spheres (global sphere row ids)
+    vol_nodes_f: jnp.ndarray = None  # (K_v * 6,) f32
+    vol_nodes_i: jnp.ndarray = None  # (K_v * 3,) i32
+    vol_perm: jnp.ndarray = None     # (n_vol_chunks * leaf_size,) i32
     leaf_size: int = static_field(default=128)
     sph_nodes: int = static_field(default=0)
     tri_nodes: int = static_field(default=0)
+    vol_nodes: int = static_field(default=0)
 
     @property
     def n_sph_chunks(self) -> int:
@@ -181,6 +205,12 @@ class ChunkedBVH:
     @property
     def n_tri_chunks(self) -> int:
         return self.tri_perm.shape[0] // self.leaf_size
+
+    @property
+    def n_vol_chunks(self) -> int:
+        if self.vol_perm is None:
+            return 0
+        return self.vol_perm.shape[0] // self.leaf_size
 
 
 @pytree_dataclass
@@ -192,11 +222,16 @@ class Scene:
     materials: MaterialTable
     bvh: Optional[FlatBVH]
     cbvh: Optional[ChunkedBVH] = None
+    mesh_volumes: Optional[MeshVolumeTable] = None
     settings: RenderSettings = static_field(default=RenderSettings())
 
     @property
     def num_primitives(self) -> int:
         return len(self.spheres) + len(self.triangles)
+
+    @property
+    def num_mesh_volumes(self) -> int:
+        return 0 if self.mesh_volumes is None else len(self.mesh_volumes)
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
@@ -240,12 +275,14 @@ class SceneBuilder:
         return len(self.objects) - 1
 
     def add_volume(self, boundary_index: int, density: float) -> int:
-        """Wrap a previously added sphere in a constant-density medium
-        (Volume::new, lib/volume.rs:25-31).  The boundary object stops being
-        a solid surface and becomes the medium boundary."""
+        """Wrap a previously added object in a constant-density medium
+        (``Volume::new`` accepts ANY Object, lib/volume.rs:25-31): sphere
+        OR mesh boundaries.  The boundary stops being a solid surface and
+        becomes the medium boundary; its material delegates as the phase
+        material."""
         rec = self.objects[boundary_index]
-        if rec["kind"] != "sphere":
-            raise NotImplementedError("volume boundaries must be spheres")
+        if rec["kind"] not in ("sphere", "mesh"):
+            raise ValueError("volume boundary must be a sphere or mesh")
         rec["neg_inv_density"] = -1.0 / float(density)
         return boundary_index
 
@@ -253,7 +290,8 @@ class SceneBuilder:
     def build(self, with_bvh: Optional[bool] = None) -> Scene:
         f32, i32 = np.float32, np.int32
         centers, radii, smats, nids = [], [], [], []
-        tv0, te1, te2, tn, tmats = [], [], [], [], []
+        tv0, te1, te2, tn, tmats, tvols = [], [], [], [], [], []
+        mv_nid, mv_mat = [], []
         for rec in self.objects:
             if rec["kind"] == "sphere":
                 centers.append(rec["center"])
@@ -265,6 +303,15 @@ class SceneBuilder:
                 v0, e1, e2, n = mesh.triangle_soa()
                 tv0.append(v0); te1.append(e1); te2.append(e2); tn.append(n)
                 tmats.append(np.full(len(v0), mesh.material, i32))
+                nid = rec.get("neg_inv_density", 0.0)
+                if nid != 0.0:
+                    # mesh-bounded constant-density volume: its triangles
+                    # carry the volume ordinal and never shade as surfaces
+                    tvols.append(np.full(len(v0), len(mv_nid), i32))
+                    mv_nid.append(nid)
+                    mv_mat.append(mesh.material)
+                else:
+                    tvols.append(np.full(len(v0), -1, i32))
 
         centers = np.asarray(centers, f32).reshape(-1, 3)
         radii = np.asarray(radii, f32)
@@ -291,7 +338,16 @@ class SceneBuilder:
             material=jnp.asarray(
                 np.concatenate(tmats) if tmats else np.zeros(0, i32)
             ),
+            volume=jnp.asarray(
+                np.concatenate(tvols) if tvols else np.zeros(0, i32)
+            ),
         )
+        mesh_volumes = None
+        if mv_nid:
+            mesh_volumes = MeshVolumeTable(
+                neg_inv_density=jnp.asarray(mv_nid, jnp.float32),
+                material=jnp.asarray(mv_mat, jnp.int32),
+            )
 
         if with_bvh is None:
             with_bvh = self.settings.enable_bvh_tree
@@ -309,6 +365,7 @@ class SceneBuilder:
             materials=build_table(self.materials),
             bvh=bvh,
             cbvh=cbvh,
+            mesh_volumes=mesh_volumes,
             settings=self.settings,
         )
 
@@ -336,9 +393,16 @@ class SceneBuilder:
                 # The reference PANICS on mesh serialization
                 # (lib/core/mesh.rs:40-60).  We serialize the source path —
                 # a strict superset of the reference schema.
-                objs.append({"type": "Mesh", "path": mesh.path,
-                             "material": mesh.material,
-                             "smooth": mesh.smooth})
+                entry = {"type": "Mesh", "path": mesh.path,
+                         "material": mesh.material,
+                         "smooth": mesh.smooth}
+                if rec.get("neg_inv_density", 0.0) != 0.0:
+                    objs.append({
+                        "type": "Volume", "boundary": entry,
+                        "neg_inv_density": rec["neg_inv_density"],
+                    })
+                else:
+                    objs.append(entry)
         return {
             "camera": self.camera.to_json(),
             "settings": self.settings.to_json(),
@@ -378,6 +442,7 @@ class SceneBuilder:
                     "kind": "mesh",
                     "mesh": Mesh.from_file(o["path"], int(o["material"]),
                                            bool(o.get("smooth", False))),
+                    "neg_inv_density": neg_inv_density,
                 })
             else:
                 raise ValueError(f"unknown object type {t!r}")

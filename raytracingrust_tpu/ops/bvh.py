@@ -199,10 +199,13 @@ def _build_chunked_topology(mins: np.ndarray, maxs: np.ndarray,
 def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
     """Build the per-kind chunk-leaf BVHs for the Pallas traversal kernel.
 
-    Spheres and triangles get SEPARATE trees (the kernel traverses the
-    sphere tree first, then the triangle tree seeded with the sphere pass's
-    best t) so leaf chunks are homogeneous — one MXU intersection form per
-    leaf, no per-leaf kind dispatch.  Returns None for an empty scene.
+    SOLID spheres, VOLUME spheres, and triangles get SEPARATE trees (the
+    kernel traverses them in sequence, each seeded with the previous
+    pass's best t) so leaf chunks are homogeneous — one MXU intersection
+    form per leaf, no per-leaf kind dispatch.  Volume spheres sort LAST in
+    the sphere SoA (models/scene.py), so the solid tree covers rows
+    [0, num_solid) and the volume tree [num_solid, n); both perms hold
+    GLOBAL sphere row indices.  Returns None for an empty scene.
     """
     import jax.numpy as jnp
 
@@ -210,6 +213,7 @@ def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
 
     smin, smax = primitive_bounds(spheres, triangles)
     ns = len(spheres)
+    n_solid = ns - spheres.num_volumes
     n_total = smin.shape[0]
     if n_total == 0:
         return None
@@ -218,16 +222,20 @@ def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
         if lo.shape[0] == 0:
             return None
         nf, ni, perm = _build_chunked_topology(lo, hi, leaf_size)
-        # perm ids are local to the kind (caller passes the kind's bounds)
+        pad = perm < 0
+        perm = perm + base
+        perm[pad] = -1
         return nf, ni, perm
 
-    sph = one(smin[:ns], smax[:ns], 0)
-    tri = one(smin[ns:], smax[ns:], ns)
+    sph = one(smin[:n_solid], smax[:n_solid], 0)
+    vol = one(smin[n_solid:ns], smax[n_solid:ns], n_solid)
+    tri = one(smin[ns:], smax[ns:], 0)
 
     empty_f = np.zeros((0, 6), np.float32)
     empty_i = np.zeros((0, 3), np.int32)
     empty_p = np.zeros((0,), np.int64)
     s_nf, s_ni, s_perm = sph if sph else (empty_f, empty_i, empty_p)
+    v_nf, v_ni, v_perm = vol if vol else (empty_f, empty_i, empty_p)
     t_nf, t_ni, t_perm = tri if tri else (empty_f, empty_i, empty_p)
 
     return ChunkedBVH(
@@ -237,9 +245,13 @@ def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
         tri_nodes_f=jnp.asarray(t_nf.reshape(-1)),
         tri_nodes_i=jnp.asarray(t_ni.reshape(-1)),
         tri_perm=jnp.asarray(t_perm, jnp.int32),
+        vol_nodes_f=jnp.asarray(v_nf.reshape(-1)),
+        vol_nodes_i=jnp.asarray(v_ni.reshape(-1)),
+        vol_perm=jnp.asarray(v_perm, jnp.int32),
         leaf_size=leaf_size,
         sph_nodes=int(s_nf.shape[0]),
         tri_nodes=int(t_nf.shape[0]),
+        vol_nodes=int(v_nf.shape[0]),
     )
 
 

@@ -149,8 +149,11 @@ def triangle_constants(triangles):
     return n, v0xe2, v0xe1, v0n
 
 
-def triangle_ts(triangles, o, d, tmin, tmax):
-    """All-pairs Moller-Trumbore -> (R, T) hit distances, +inf for misses."""
+def triangle_ts_raw(triangles, o, d):
+    """All-pairs Moller-Trumbore with NO t-range restriction ->
+    (t (R, T), geo_valid (R, T)).  Volume boundary crossings need hits at
+    ANY t — the ray origin may be inside the medium, making the entry
+    crossing negative (lib/volume.rs: boundary.hit over (-inf, inf))."""
     n, v0xe2, v0xe1, v0n = triangle_constants(triangles)
     w = vec.cross(o, d)                               # (R, 3) ray moment
 
@@ -164,13 +167,52 @@ def triangle_ts(triangles, o, d, tmin, tmax):
     v = f * num_v
     t = f * num_t
 
-    valid = (
+    geo = (
         (jnp.abs(a) > TRI_DET_EPS)
         & (u >= 0.0) & (u <= 1.0)
         & (v >= 0.0) & (u + v <= 1.0)
-        & (t > tmin) & (t <= tmax)
     )
+    return t, geo
+
+
+def triangle_ts(triangles, o, d, tmin, tmax):
+    """All-pairs Moller-Trumbore -> (R, T) hit distances, +inf for misses."""
+    t, geo = triangle_ts_raw(triangles, o, d)
+    valid = geo & (t > tmin) & (t <= tmax)
     return jnp.where(valid, t, INF)
+
+
+def mesh_volume_ts(scene, o, d, u_mesh, tmin, tmax):
+    """Free-flight hit distances for MESH-bounded constant-density volumes
+    -> (R, V) with +inf for misses.
+
+    Per volume: first/second boundary crossings among ITS triangles (the
+    reference's two nested ``boundary.hit`` calls, lib/volume.rs:35-53,
+    with a Mesh boundary), then the exponential free flight of the sphere
+    path (sphere_ts) with this volume's own uniform column.
+    """
+    tris = scene.triangles
+    t_raw, geo = triangle_ts_raw(tris, o, d)
+    vol = tris.volume
+    ray_len = jnp.sqrt(vec.length_squared(d))         # (R,)
+    cols = []
+    for v in range(scene.num_mesh_volumes):           # static small count
+        m = geo & (vol[None, :] == v)
+        tv = jnp.where(m, t_raw, INF)
+        t1 = jnp.min(tv, axis=1)                      # entry (any t)
+        # exit: next crossing strictly past the entry (re-hit offset tmin,
+        # the sphere path's `t2 >= t1 + tmin` rule)
+        t2 = jnp.min(jnp.where(tv >= t1[:, None] + tmin, tv, INF), axis=1)
+        h1 = jnp.maximum(t1, tmin)
+        h2 = jnp.minimum(t2, tmax)
+        valid = jnp.isfinite(t1) & jnp.isfinite(t2) & (h1 < h2)
+        h1 = jnp.maximum(h1, 0.0)
+        dist_inside = (h2 - h1) * ray_len
+        nid = scene.mesh_volumes.neg_inv_density[v]
+        hit_dist = nid * jnp.log(jnp.maximum(u_mesh[:, v], 1e-37))
+        t_v = h1 + hit_dist / ray_len
+        cols.append(jnp.where(valid & (hit_dist <= dist_inside), t_v, INF))
+    return jnp.stack(cols, axis=1)
 
 
 # ------------------------------------------------- single-prim (gathered)
@@ -289,6 +331,15 @@ def make_hit(scene, o, d, t, best):
             is_sphere[..., None], outward, tgather(scene.triangles.normal, tidx)
         )
         mat = jnp.where(is_sphere, mat, tgather(scene.triangles.material, tidx))
+    if scene.num_mesh_volumes:
+        # mesh-volume winners: delegated material + the volume dummy
+        # normal (1, 0, 0) (lib/volume.rs:66-72)
+        is_mv = best >= ns + nt
+        vidx = jnp.clip(best - ns - nt, 0, scene.num_mesh_volumes - 1)
+        mat = jnp.where(is_mv,
+                        tgather(scene.mesh_volumes.material, vidx), mat)
+        dummy = jnp.zeros_like(outward).at[..., 0].set(1.0)
+        outward = jnp.where(is_mv[..., None], dummy, outward)
 
     unit_z = jnp.zeros_like(outward).at[..., 2].set(1.0)
     outward = jnp.where(missed[..., None], unit_z, outward)
@@ -305,12 +356,27 @@ def intersect_brute(scene, o, d, u_vol, tmin=T_MIN, tmax=INF):
     """Brute-force closest hit over every primitive — the linear-scan path
     (lib/core/scene.rs:141-157) vectorized into matmuls.  For scenes up to a
     few thousand primitives this IS the TPU fast path; the BVH exists for the
-    big ones."""
+    big ones.
+
+    ``u_vol``: (R, num sphere volumes + num mesh volumes) free-flight
+    uniforms, sphere-volume columns first.
+    """
+    n_sv = scene.spheres.num_volumes
+    n_mv = scene.num_mesh_volumes
     parts = []
     if len(scene.spheres) > 0:
-        parts.append(sphere_ts(scene.spheres, o, d, u_vol, tmin, tmax))
+        parts.append(sphere_ts(scene.spheres, o, d, u_vol[:, :n_sv],
+                               tmin, tmax))
     if len(scene.triangles) > 0:
-        parts.append(triangle_ts(scene.triangles, o, d, tmin, tmax))
+        t_tri = triangle_ts(scene.triangles, o, d, tmin, tmax)
+        if n_mv:
+            # mesh-volume boundary triangles never shade as surfaces
+            t_tri = jnp.where(scene.triangles.volume[None, :] >= 0,
+                              INF, t_tri)
+        parts.append(t_tri)
+    if n_mv:
+        parts.append(mesh_volume_ts(scene, o, d, u_vol[:, n_sv:],
+                                    tmin, tmax))
     if not parts:
         r = o.shape[0]
         return Hit(
@@ -319,14 +385,21 @@ def intersect_brute(scene, o, d, u_vol, tmin=T_MIN, tmax=INF):
             normal=jnp.zeros_like(o),
             front_face=jnp.zeros((r,), bool),
         )
-    # columns are [0, N) spheres then [N, N+T) triangles, so the argmin
-    # column index IS the global primitive id
+    # columns are [0, N) spheres, [N, N+T) triangles, then [N+T, N+T+V)
+    # mesh volumes, so the argmin column index IS the global primitive id
     t_all = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    t_min = jnp.min(t_all, axis=1)
     best = jnp.argmin(t_all, axis=1).astype(jnp.int32)
-    missed = ~jnp.isfinite(jnp.min(t_all, axis=1))
+    missed = ~jnp.isfinite(t_min)
     # re-intersect the winner in the direct single-primitive form: canonical
     # f32 result (bitwise-identical to the BVH path) and the differentiable
-    # t for reparameterized gradients
-    t = prim_t(scene, best, o, d, u_vol, tmin, INF)
+    # t for reparameterized gradients.  Mesh-volume winners keep their
+    # matmul-path t (already differentiable; there is no single-primitive
+    # form for a whole boundary mesh).
+    n_st = len(scene.spheres) + len(scene.triangles)
+    t = prim_t(scene, jnp.clip(best, 0, max(n_st - 1, 0)), o, d,
+               u_vol[:, :n_sv], tmin, INF)
+    if n_mv:
+        t = jnp.where(best >= n_st, t_min, t)
     t = jnp.where(missed, INF, t)
     return make_hit(scene, o, d, t, best)

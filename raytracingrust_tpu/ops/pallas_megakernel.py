@@ -122,6 +122,7 @@ def supports(scene: Scene) -> bool:
         and 0 < (len(scene.spheres) + len(scene.triangles))
         and len(scene.spheres) <= MAX_UNROLLED_SPHERES
         and _mix_in_kernel_ok(scene)
+        and scene.num_mesh_volumes == 0  # XLA-only (whole-mesh crossings)
         and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
@@ -452,17 +453,31 @@ _TG_E1 = 3      # rows 3-5
 _TG_E2 = 6      # rows 6-8
 
 
+# Volumes in the packet kernel: each volume draws its OWN free-flight
+# uniform per bounce (reference: one uniform per Volume::hit,
+# lib/volume.rs:57); the kernel precomputes all of them per ray and the
+# volume-chunk leaf selects by the candidate's static ordinal row, so the
+# count is capped to bound registers/uniform columns.
+MAX_BVH_VOLUMES = 8
+
+
 def supports_bvh(scene: Scene) -> bool:
-    """Static capability gate for the packet-traversal kernel (forward-only;
-    scenes passing :func:`supports` use the brute-force kernel instead, which
-    is faster below its size limits and differentiable)."""
+    """Static capability gate for the packet-traversal kernel (scenes
+    passing :func:`supports` use the brute-force kernel instead, which is
+    faster below its size limits).  Differentiable via record+replay
+    (_bvh_cvjp)."""
+    cb = scene.cbvh
     return (
-        scene.cbvh is not None
-        and scene.cbvh.leaf_size == BVH_LEAF
+        cb is not None
+        and cb.leaf_size == BVH_LEAF
         and 0 < scene.num_primitives
         and len(scene.spheres) <= MAX_BVH_SPHERES
         and len(scene.triangles) <= MAX_BVH_TRIS
-        and scene.spheres.num_volumes == 0
+        and scene.spheres.num_volumes <= MAX_BVH_VOLUMES
+        and scene.num_mesh_volumes == 0  # XLA-only (whole-mesh crossings)
+        # volume scenes need the third (volume-sphere) chunk tree — cbvh
+        # objects built before round 3 lack it
+        and (scene.spheres.num_volumes == 0 or cb.n_vol_chunks > 0)
         # mix stays excluded here: the traversal carry has no room for a
         # second 16-row leaf-parameter set (the brute kernel covers mixes
         # up to its size limits; bigger mix scenes keep the XLA BVH path)
@@ -528,6 +543,99 @@ def _pack_sphere_chunks(scene: Scene, perm):
     })
     s_mat = jnp.where(pad[None, :], 0.0, _stack16(n, rows))
     return _chunk_rows(s_mat, lf)
+
+
+# Volume-chunk extra rows (second constant matrix, _VX_* layout): the
+# free-flight parameters that do not fit the 16 _BS_ shading rows.
+_VX_NID = 0   # neg_inv_density
+_VX_ORD = 1   # volume ordinal (sphere row - num_solid), as f32
+
+
+def _pack_vol_chunks(scene: Scene, perm):
+    """Permuted VOLUME-sphere chunks -> (s (nc*16, 128) _BS_ shading rows
+    — GEO/RAD hold the boundary sphere, material rows the delegated
+    material — and x (nc*16, 128) _VX_* extra rows).  Padding lanes are
+    all-zero (radius == 0)."""
+    lf = BVH_LEAF
+    perm = jnp.asarray(perm)
+    idx = jnp.maximum(perm, 0)
+    pad = perm < 0
+    c = scene.spheres.center[idx]
+    r = scene.spheres.radius[idx]
+    n = idx.shape[0]
+
+    mid = scene.spheres.material[idx]
+    rows = _mat_rows(scene, mid, pad)
+    rows.update({
+        _BS_GEO + 0: c[:, 0], _BS_GEO + 1: c[:, 1], _BS_GEO + 2: c[:, 2],
+        _BS_RAD: r,
+    })
+    s_mat = jnp.where(pad[None, :], 0.0, _stack16(n, rows))
+
+    ordinal = (idx - scene.spheres.num_solid).astype(jnp.float32)
+    x_mat = _stack16(n, {
+        _VX_NID: scene.spheres.neg_inv_density[idx],
+        _VX_ORD: ordinal,
+    })
+    x_mat = jnp.where(pad[None, :], 0.0, x_mat)
+    return _chunk_rows(s_mat, lf), _chunk_rows(x_mat, lf)
+
+
+def _vol_chunk_hit(s_ref, x_ref, chunk, o3, d3, a, ray_len, u_vols,
+                   t_best, par, win, code=None, code_base=0):
+    """Constant-density volume chunk: boundary window from the quadratic,
+    exponential free flight with each candidate's OWN per-ray uniform
+    (selected by the candidate's ordinal row from the precomputed
+    ``u_vols`` list) — the exact op order of the brute kernel's volume
+    branch / ops/intersect.py sphere_ts (lib/volume.rs:35-73)."""
+    base = pl.multiple_of(chunk * 16, 16)
+    s_m = s_ref[pl.ds(base, 16), :]                        # (16, 128)
+    x_m = x_ref[pl.ds(base, 16), :]
+    g = _to_sublanes(s_m)                                  # (128, 16)
+    x = _to_sublanes(x_m)
+    cx = g[:, _BS_GEO + 0:_BS_GEO + 1]
+    cy = g[:, _BS_GEO + 1:_BS_GEO + 2]
+    cz = g[:, _BS_GEO + 2:_BS_GEO + 3]
+    rad = g[:, _BS_RAD:_BS_RAD + 1]
+    nid = x[:, _VX_NID:_VX_NID + 1]
+    ordv = x[:, _VX_ORD:_VX_ORD + 1]
+    live = rad > 0.0
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    code_val = chunk * BVH_LEAF + code_base if code is not None else None
+    tb_rows, par_rows, win_rows, code_rows = [], [], [], []
+    for r in range(t_best.shape[0]):
+        def row(v, r=r):
+            return v[r:r + 1, :]
+        ocx = row(ox) - cx
+        ocy = row(oy) - cy
+        ocz = row(oz) - cz
+        hb = ocx * row(dx) + ocy * row(dy) + ocz * row(dz)
+        cq = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = hb * hb - row(a) * cq
+        ok = disc >= 0.0
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-hb - sq) / row(a)
+        t2 = (-hb + sq) / row(a)
+        # each candidate's free-flight uniform: select the ordinal's column
+        u = jnp.zeros_like(t1)
+        for v, uv in enumerate(u_vols):
+            u = jnp.where(ordv == float(v), row(uv), u)
+        h1 = jnp.maximum(t1, T_MIN)
+        h2 = jnp.where(t2 >= t1 + T_MIN, t2, jnp.inf)
+        valid = ok & live & (h1 < h2)
+        h1 = jnp.maximum(h1, 0.0)
+        dist_inside = (h2 - h1) * row(ray_len)
+        hit_dist = nid * jnp.log(jnp.maximum(u, 1e-37))
+        ti = h1 + hit_dist / row(ray_len)
+        ti = jnp.where(valid & (hit_dist <= dist_inside), ti, jnp.inf)
+        tb_r = t_best[r:r + 1]
+        ti = jnp.where(ti < tb_r, ti, jnp.inf)
+        _merge_leaf_rows(ti, s_m, t_best, par, win, 2.0, r,
+                         tb_rows, par_rows, win_rows,
+                         code, code_val, code_rows)
+    return _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows,
+                             code, code_rows)
 
 
 def _pack_tri_chunks(scene: Scene, perm):
@@ -829,8 +937,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     iso = M.ISOTROPIC in present
     stride = _sphere_stride(mix, n_vol > 0)
     n_solid = n_spheres - n_vol
-    assert not ((mix or n_vol) and bvh is not None), \
-        "BVH kernel excludes mix/volume scenes"
+    assert not (mix and bvh is not None), "BVH kernel excludes mix scenes"
 
     if True:  # keep the historical indentation of the kernel body
         ox_c, oy_c, oz_c = f(_CAM + 0), f(_CAM + 1), f(_CAM + 2)
@@ -1070,7 +1177,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 win = zero
                 code = (jnp.full(dx.shape, -1, jnp.int32) if record
                         else None)
-                sph_span = 0
+                sph_span = vol_span = 0
                 if bvh.get("sph") is not None:
                     nf, ni, k_n, s_ref = bvh["sph"]
                     sph_span = (s_ref.shape[0] // 16) * BVH_LEAF
@@ -1086,11 +1193,31 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                         code=code)
                     (t_best, par, win), code = res[:3], (res[3] if record
                                                          else None)
+                if bvh.get("vol") is not None:
+                    nf, ni, k_n, s_ref, x_ref = bvh["vol"]
+                    vol_span = (s_ref.shape[0] // 16) * BVH_LEAF
+                    ray_len = jnp.sqrt(a)
+                    u_vols = [us[off + 4 + v] for v in range(n_vol)]
+
+                    def vol_leaf(chunk, tb, pr, wn, *cd, s_ref=s_ref,
+                                 x_ref=x_ref, a=a, ray_len=ray_len,
+                                 base=sph_span):
+                        return _vol_chunk_hit(
+                            s_ref, x_ref, chunk, o3, d3, a, ray_len,
+                            u_vols, tb, pr, wn,
+                            code=cd[0] if cd else None, code_base=base)
+
+                    res = _traverse_tree(
+                        nf, ni, k_n, vol_leaf, ox, oy, oz,
+                        inv_dx, inv_dy, inv_dz, alive, t_best, par, win,
+                        code=code)
+                    (t_best, par, win), code = res[:3], (res[3] if record
+                                                         else None)
                 if bvh.get("tri") is not None:
                     nf, ni, k_n, g_ref, s_ref = bvh["tri"]
 
                     def tri_leaf(chunk, tb, pr, wn, *cd, g_ref=g_ref,
-                                 s_ref=s_ref, base=sph_span):
+                                 s_ref=s_ref, base=sph_span + vol_span):
                         return _tri_chunk_hit(
                             g_ref, s_ref, chunk, o3, d3, tb, pr, wn,
                             code=cd[0] if cd else None, code_base=base)
@@ -1111,8 +1238,11 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 ptx = ox + safe_t * dx
                 pty = oy + safe_t * dy
                 ptz = oz + safe_t * dz
-                # GEO rows: sphere center + radius, or triangle flat normal
-                win_sph = win > 0.5
+                # GEO rows: sphere center + radius, or triangle flat
+                # normal.  win: 1.0 = solid sphere, 2.0 = volume sphere
+                # (dummy (1,0,0) normal, lib/volume.rs:66-72), 0.0 = tri.
+                win_sph = (win > 0.5) & (win < 1.5)
+                win_vol = win > 1.5
                 gx = par[_BS_GEO + 0]
                 gy = par[_BS_GEO + 1]
                 gz = par[_BS_GEO + 2]
@@ -1122,6 +1252,9 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 nx = jnp.where(win_sph, (ptx - gx) / g_rad, gx)
                 ny = jnp.where(win_sph, (pty - gy) / g_rad, gy)
                 nz = jnp.where(win_sph, (ptz - gz) / g_rad, gz)
+                nx = jnp.where(win_vol, 1.0, nx)
+                ny = jnp.where(win_vol, 0.0, ny)
+                nz = jnp.where(win_vol, 0.0, nz)
                 al_r = par[_BS_AL + 0]
                 al_g = par[_BS_AL + 1]
                 al_b = par[_BS_AL + 2]
@@ -1372,37 +1505,36 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         if unrolled or os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
             # Static chain: required under vjp; also the perf-ablation knob
             # (measured equal on benchmark.json — docs/performance.md).
-            # Each bounce after the first runs under lax.cond on "any lane
-            # alive" — the unrolled chain's equivalent of the while_loop's
-            # all-dead early-out.  lax.cond is differentiable, so the fused
-            # grad kernel's forward-replay AND its transposed backward both
-            # skip dead-block bounces (sky-heavy blocks stop paying
-            # max_depth; this is where the fwd+bwd headline lived).
-            if record_ref is not None:
-                # skipped bounces must leave well-defined records
-                record_ref[...] = jnp.full(record_ref.shape, -1, jnp.int32)
+            # NOTE a per-bounce lax.cond all-dead skip was tried here and
+            # REVERTED: Mosaic cannot legalize the scf.if produced by
+            # differentiating a value-carrying cond inside the fused grad
+            # kernel ("failed to legalize operation 'scf.if'" on v5e),
+            # regardless of carry dtypes.
             for bi in range(max_depth):
-                # the bounce counter stays OUT of the cond carry (a static
-                # int per unrolled step; an int32 inside a differentiated
-                # cond does not legalize in Mosaic)
-                def live_bounce(rest, bi=bi):
-                    out = bounce_body(
-                        (jnp.int32(bi),) + tuple(rest),
-                        record_slot=bi if record_ref is not None else None)
-                    return tuple(out[1:])
-
-                if bi == 0:
-                    state = (jnp.int32(1),) + live_bounce(state[1:])
-                else:
-                    rest = jax.lax.cond(
-                        jnp.max(state[-1]) > 0.0, live_bounce,
-                        lambda s: tuple(s), tuple(state[1:]))
-                    state = (jnp.int32(bi + 1),) + tuple(rest)
+                state = bounce_body(
+                    state,
+                    record_slot=bi if record_ref is not None else None)
         else:
             state = jax.lax.while_loop(bounce_cond, bounce_body, state)
         if skymap:
             return tuple(state[10:19])
         return state[10], state[11], state[12]
+
+
+# Forward-kernel bounce-chain policy: the UNROLLED static chain beats the
+# early-out while_loop on real TPUs for shallow chains — MEASURED 245M vs
+# 157M rays/s fwd on benchmark.json 512x512 spp8 depth6 (v5e): Mosaic's
+# loop-carry handling costs more than the dead-bounce work the early-out
+# saves.  Deep chains (mesh bench depth 50) keep the while_loop, where the
+# dead-lane integral is far larger and the unrolled program bloats.
+UNROLL_MAX_DEPTH = 12
+
+
+def _chain_unrolled(max_depth: int) -> bool:
+    knob = os.environ.get("RTRT_MEGAKERNEL_UNROLL")
+    if knob is not None:
+        return knob == "1"
+    return max_depth <= UNROLL_MAX_DEPTH
 
 
 def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
@@ -1440,8 +1572,8 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=n_spheres, max_depth=max_depth,
             sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-            unrolled=False, tri=tri, tri_kinds=tri_kinds, mix=mix,
-            n_vol=n_vol,
+            unrolled=_chain_unrolled(max_depth), tri=tri,
+            tri_kinds=tri_kinds, mix=mix, n_vol=n_vol,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -1713,6 +1845,319 @@ def _radiance_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
     return radiance
 
 
+# ------------------------------------------------ fused render->MSE->grad
+#
+# The production fit step is grad-of-MSE.  The generic custom_vjp above
+# costs TWO kernel passes per step: the primal forward (to produce the
+# image the MSE cotangent 2*(img - target) needs) and the fused
+# forward-replay+vjp backward.  But the backward REPLAYS the forward
+# anyway — so when the loss is MSE, fold the loss into the kernel: one
+# pass renders the block, clamps, averages each pixel's spp samples (a
+# lane-grouping matmul on the MXU), computes the squared-error loss
+# contribution, and lets jax.vjp of THAT produce the parameter cotangents
+# directly.  value_and_grad of a fit step = ONE kernel launch (measured
+# ~2.4x the two-pass step on benchmark.json 512x512 spp8 depth6, v5e).
+# Same trick as fused cross-entropy in LLM training stacks.
+
+def _make_mse_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
+                     spp, clamp, tri_kinds=(), tri_tb=0, mix=False,
+                     n_vol=0):
+    """Fused loss+grad kernel.  Extra inputs per ray block: the per-ray
+    REPLICATED target rgb (each pixel's target copied across its spp
+    lanes) and a per-lane weight (1/(3*H*W*spp) for real rays, 0 for
+    padding — the exact jnp.mean((img-target)**2) normalization).  Outputs:
+    the accumulated scalar loss + parameter cotangents.
+
+    Pixel means: ray order is pixel*spp + sample, so one pixel's samples
+    are spp CONTIGUOUS lanes (gate: BLOCK_COLS % spp == 0); the averaging
+    projector A[l, m] = (l//spp == m//spp)/spp replicates each pixel's
+    sample mean back onto its lanes with one (8,256)x(256,256) MXU matmul
+    per channel, so loss = sum(wt * (rad@A - target)^2) counts each pixel
+    exactly once.
+    """
+    assert bg_kind in (B.UNIFORM, B.GRADIENT), "fused MSE excludes skymap"
+    assert BLOCK_COLS % spp == 0
+
+    def kernel(iparams, *refs):
+        refs = list(refs)
+        fp_ref = refs.pop(0)
+        tri_refs = []
+        if tri_tb:
+            tri_refs = [refs.pop(0), refs.pop(0)]
+            if mix:
+                tri_refs.append(refs.pop(0))
+        avg_ref = refs.pop(0)
+        ray_id_ref = refs.pop(0)
+        px_ref = refs.pop(0)
+        py_ref = refs.pop(0)
+        tgt_refs = [refs.pop(0) for _ in range(3)]
+        wt_ref = refs.pop(0)
+        loss_ref = refs.pop(0)
+        dfp_ref = refs.pop(0)
+        dtri_refs = [refs.pop(0) for _ in range(len(tri_refs))]
+        assert not refs
+
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+        ray_id = ray_id_ref[...]
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+        px = px_ref[...]
+        py = py_ref[...]
+        tgt = tuple(t[...] for t in tgt_refs)
+        wt = wt_ref[...]
+        # the averaging projector rides VMEM as an input (int division on
+        # a 256x256 iota per grid step is pure VPU waste in-kernel)
+        avg = avg_ref[...]
+
+        def block_loss(fp_row, *tris):
+            tri = None
+            if tri_tb:
+                tri = (tris[0], tris[1], tris[2] if mix else None, tri_tb)
+            vals = _radiance_math(
+                lambda i: fp_row[0, i], k0, k1, ray_u32, px, py,
+                n_spheres=n_spheres, max_depth=max_depth,
+                sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
+                unrolled=True, tri=tri, tri_kinds=tri_kinds, mix=mix,
+                n_vol=n_vol,
+            )
+            loss = jnp.float32(0.0)
+            for rad, t in zip(vals, tgt):
+                c = jnp.clip(rad, 0.0, clamp)
+                m = jax.lax.dot_general(
+                    c, avg, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                d = m - t
+                loss = loss + jnp.sum(wt * d * d)
+            return loss
+
+        primal, vjp_fn = jax.vjp(block_loss, fp_ref[...],
+                                 *(r[...] for r in tri_refs))
+        grads = vjp_fn(jnp.float32(1.0))
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            loss_ref[...] = jnp.zeros_like(loss_ref)
+            dfp_ref[...] = jnp.zeros_like(dfp_ref)
+            for r in dtri_refs:
+                r[...] = jnp.zeros_like(r)
+
+        # scalar loss accumulates in lane 0 of a (1, 128) block (Mosaic
+        # cannot store scalars to VMEM; this is a vector masked add)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0
+        loss_ref[...] += jnp.where(lane0, primal, 0.0)
+        dfp_ref[...] += grads[0]
+        for r, g in zip(dtri_refs, grads[1:]):
+            r[...] += g
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=64)
+def _mse_cvjp(n_spheres, max_depth, sphere_kinds, bg_kind, clay, rows,
+              interpret, spp, clamp, n_tris=0, tri_tb=0, tri_kinds=(),
+              mix=False, n_vol=0):
+    """custom_vjp MSE loss for one static configuration.
+
+    fwd rule = the FUSED loss+grad kernel (one pass computes the loss AND
+    every parameter cotangent; the grads ARE the residuals); bwd = scale by
+    the incoming scalar cotangent.  Plain (no-grad) calls run the ordinary
+    forward kernel + an XLA reduction replicating the same formula.
+    """
+    shape2d = (rows, BLOCK_COLS)
+    grid = rows // BLOCK_ROWS
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
+
+    t_pad = -(-n_tris // tri_tb) * tri_tb if n_tris else 0
+    tri_in_specs = []
+    if n_tris:
+        s_block = pl.BlockSpec((16, t_pad), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+        tri_in_specs = [
+            pl.BlockSpec((16, 4 * t_pad), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            s_block,
+        ]
+        if mix:
+            tri_in_specs.append(s_block)
+    n_tri_ops = len(tri_in_specs)
+
+    # plain forward (for no-grad loss evaluations)
+    fwd_kernel = _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind,
+                              clay, tri_kinds, tri_tb, mix, n_vol)
+    fwd_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(grid,),
+        in_specs=tri_in_specs + [block, block, block],
+        out_specs=[block, block, block],
+    )
+
+    k = int(_SPHERES + n_spheres * _sphere_stride(mix, n_vol > 0))
+    k_pad = -(-k // 128) * 128
+    param_block = pl.BlockSpec((1, k_pad), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    loss_block = pl.BlockSpec((1, 128), lambda i, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+    mse_kernel = _make_mse_kernel(n_spheres, max_depth, sphere_kinds,
+                                  bg_kind, clay, spp, clamp, tri_kinds,
+                                  tri_tb, mix, n_vol)
+    avg_block = pl.BlockSpec((BLOCK_COLS, BLOCK_COLS), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+    mse_grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[param_block] + tri_in_specs + [avg_block] + [block] * 7,
+        out_specs=[loss_block, param_block] + tri_in_specs,
+    )
+
+    def run_fused(iparams, fparams, tri_ops, ray_ids, px, py, tgt, wt):
+        gi = jax.lax.broadcasted_iota(jnp.int32,
+                                      (BLOCK_COLS, BLOCK_COLS), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32,
+                                      (BLOCK_COLS, BLOCK_COLS), 1)
+        avg = ((gi // spp) == (gj // spp)).astype(jnp.float32) / spp
+        fp_row = jnp.zeros((1, k_pad), jnp.float32).at[0, :k].set(fparams)
+        out_shape = [jax.ShapeDtypeStruct((1, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((1, k_pad), jnp.float32)]
+        if n_tris:
+            out_shape += [jax.ShapeDtypeStruct((16, 4 * t_pad), jnp.float32),
+                          jax.ShapeDtypeStruct((16, t_pad), jnp.float32)]
+            if mix:
+                out_shape += [jax.ShapeDtypeStruct((16, t_pad),
+                                                   jnp.float32)]
+        res = pl.pallas_call(
+            mse_kernel,
+            grid_spec=mse_grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(iparams, fp_row, *tri_ops, avg, ray_ids, px, py, *tgt, wt)
+        loss = res[0][0, 0]
+        dfp = res[1][0, :k]
+        return loss, (dfp, *res[2:])
+
+    def xla_loss(outs, tgt, wt):
+        """The kernel's loss formula in XLA, for no-grad evaluations."""
+        loss = jnp.float32(0.0)
+        for rad, t in zip(outs, tgt):
+            c = jnp.clip(rad, 0.0, clamp)
+            m = c.reshape(rows, BLOCK_COLS // spp, spp).mean(axis=-1)
+            m = jnp.repeat(m, spp, axis=-1)
+            loss = loss + jnp.sum(wt * (m - t) ** 2)
+        return loss
+
+    n_diff = 1 + n_tri_ops  # fparams [+ tri operands]
+
+    @jax.custom_vjp
+    def mse(fparams, *rest):
+        tri_ops = rest[:n_tri_ops]
+        tgt = rest[n_tri_ops:n_tri_ops + 3]
+        wt, iparams, ray_ids, px, py = rest[n_tri_ops + 3:]
+        outs = pl.pallas_call(
+            fwd_kernel,
+            grid_spec=fwd_grid_spec,
+            out_shape=[out, out, out],
+            interpret=interpret,
+        )(iparams, fparams, *tri_ops, ray_ids, px, py)
+        return xla_loss(outs, tgt, wt)
+
+    def mse_fwd(fparams, *rest):
+        tri_ops = rest[:n_tri_ops]
+        tgt = rest[n_tri_ops:n_tri_ops + 3]
+        wt, iparams, ray_ids, px, py = rest[n_tri_ops + 3:]
+        loss, grads = run_fused(iparams, fparams, tri_ops, ray_ids, px, py,
+                                tgt, wt)
+        return loss, grads
+
+    def mse_bwd(grads, gbar):
+        f0 = jax.dtypes.float0
+        dfp, *dtri = grads
+        # target/weight are treated as constants of the fit (documented in
+        # mse_loss_pallas); their cotangents are zero.
+        zeros = [jnp.zeros((rows, BLOCK_COLS), jnp.float32)] * 4
+        return (dfp * gbar, *[d * gbar for d in dtri], *zeros,
+                np.zeros((2,), f0),
+                np.zeros((rows, BLOCK_COLS), f0),
+                jnp.zeros((rows, BLOCK_COLS), jnp.float32),
+                jnp.zeros((rows, BLOCK_COLS), jnp.float32))
+
+    mse.defvjp(mse_fwd, mse_bwd)
+    return mse
+
+
+def mse_loss_pallas(scene: Scene, target, width: int,
+                    height: int, iparams, *,
+                    sphere_kinds: tuple | None = None,
+                    tri_kinds: tuple | None = None,
+                    interpret: bool = False):
+    """jnp.mean((render_linear(scene) - target)**2) over the FULL frame
+    with a FUSED loss+gradient kernel: under value_and_grad the whole fit
+    step is one kernel launch (the separate forward render is gone).
+    ``target`` is (H, W, 3) linear radiance and is treated as a CONSTANT of
+    the fit (its cotangent is zero).  Gate: :func:`supports_fused_mse`.
+    """
+    if sphere_kinds is None:
+        sphere_kinds = _sphere_kinds(scene)
+    if tri_kinds is None:
+        tri_kinds = _tri_kinds(scene)
+    spp = scene.settings.samples_per_pixel
+    n_pixels = width * height
+    pixel_ids = jnp.arange(n_pixels, dtype=jnp.int32)
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width)
+
+    mix = bool(scene.materials.has_mix)
+    fparams = _pack_fparams(scene, width, height, mix=mix)
+    n_tris = len(scene.triangles)
+    tri_tb = _tri_sizes(n_tris)[0] if n_tris else 0
+    tri_ops = tuple(_pack_tri(scene, tri_tb, mix=mix)) if n_tris else ()
+
+    # Per-ray replicated target (each pixel's value across its spp lanes)
+    # + exact-mean weights (pads weigh 0).  Raster order makes this a pure
+    # broadcast+reshape — NEVER a gather: a 2M-row dynamic gather measured
+    # 139 ms on v5e, 10x the whole fused kernel.
+    t3 = jax.lax.stop_gradient(jnp.asarray(target)).reshape(n_pixels, 3)
+    w_real = jnp.full((n_rays,), 1.0 / (3.0 * n_pixels * spp), jnp.float32)
+    pad = rows * BLOCK_COLS - n_rays
+
+    def blocks(v):
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), jnp.float32)])
+        return v.reshape(rows, BLOCK_COLS)
+
+    def rep(col):
+        return jnp.broadcast_to(col[:, None],
+                                (n_pixels, spp)).reshape(-1)
+
+    tgt = tuple(blocks(rep(t3[:, c])) for c in range(3))
+    wt = blocks(w_real)
+
+    mse = _mse_cvjp(
+        len(scene.spheres), scene.settings.max_ray_depth, sphere_kinds,
+        scene.background.kind, scene.settings.mode == MODE_CLAY, rows,
+        interpret, spp, float(scene.settings.clamp_indirect),
+        n_tris=n_tris, tri_tb=tri_tb,
+        tri_kinds=tri_kinds if n_tris else (), mix=mix,
+        n_vol=scene.spheres.num_volumes,
+    )
+    return mse(fparams, *tri_ops, *tgt, wt, iparams, ray_ids, px, py)
+
+
+def supports_fused_mse(scene: Scene) -> bool:
+    """Static gate for the fused render->MSE->grad kernel: the brute-kernel
+    envelope minus skymap (the equirect gather cannot run in-kernel), with
+    each pixel's samples contiguous within a lane row."""
+    return (
+        supports(scene)
+        and scene.background.kind in (B.UNIFORM, B.GRADIENT)
+        and BLOCK_COLS % scene.settings.samples_per_pixel == 0
+    )
+
+
 def _env_finish(scene: Scene, outs, n_rays: int):
     """Combine kernel outputs with the batched equirect lookup ->
     (n_rays, 3) radiance.  ``outs`` = 9 (rows, 256) blocks: rgb radiance +
@@ -1923,13 +2368,14 @@ def _bvh_kinds(scene: Scene) -> tuple:
 
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
-                     record=False):
+                     k_vol=0, n_vol=0, record=False):
     """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
     ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
-    ride VMEM.  ``record``: additionally write the per-bounce winner-slot
-    record (last output ref; unrolled chain) for the differentiable
-    replay."""
+    ride VMEM.  Tree order: solid spheres, volume spheres, triangles.
+    ``record``: additionally write the per-bounce winner-slot record (last
+    output ref; unrolled chain) for the differentiable replay."""
     has_sph = k_sph > 0
+    has_vol = k_vol > 0
     has_tri = k_tri > 0
 
     def kernel(iparams, fparams, *refs):
@@ -1937,13 +2383,19 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
         sph_nodes = refs[:2] if has_sph else None
         if has_sph:
             refs = refs[2:]
+        vol_nodes = refs[:2] if has_vol else None
+        if has_vol:
+            refs = refs[2:]
         tri_nodes = refs[:2] if has_tri else None
         if has_tri:
             refs = refs[2:]
-        sph = tri_ = None
+        sph = vol_ = tri_ = None
         if has_sph:
             sph = (sph_nodes[0], sph_nodes[1], k_sph, refs[0])
             refs = refs[1:]
+        if has_vol:
+            vol_ = (vol_nodes[0], vol_nodes[1], k_vol, refs[0], refs[1])
+            refs = refs[2:]
         if has_tri:
             tri_ = (tri_nodes[0], tri_nodes[1], k_tri, refs[0], refs[1])
             refs = refs[2:]
@@ -1965,8 +2417,9 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=0, max_depth=max_depth, sphere_kinds=(),
             bg_kind=bg_kind, clay=clay, unrolled=record,
-            tri=None, tri_kinds=kinds, bvh={"sph": sph, "tri": tri_},
-            record_ref=rec_ref,
+            tri=None, tri_kinds=kinds,
+            bvh={"sph": sph, "vol": vol_, "tri": tri_},
+            record_ref=rec_ref, n_vol=n_vol,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -1976,7 +2429,8 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
 
 @functools.lru_cache(maxsize=32)
 def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
-              n_sph_chunks, n_tri_chunks, k_sph, k_tri, record=False):
+              n_sph_chunks, n_tri_chunks, k_sph, k_tri,
+              n_vol_chunks=0, k_vol=0, n_vol=0, record=False):
     """pallas_call wrapper for one static BVH-kernel configuration.
     ``record`` appends an (rows, max_depth * 256) int32 output holding the
     per-bounce winner records."""
@@ -1995,6 +2449,9 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     in_specs = []
     if n_sph_chunks:
         in_specs += [full(n_sph_chunks * 16, BVH_LEAF)]
+    if n_vol_chunks:
+        in_specs += [full(n_vol_chunks * 16, BVH_LEAF),
+                     full(n_vol_chunks * 16, BVH_LEAF)]
     if n_tri_chunks:
         in_specs += [full(n_tri_chunks * 16, BVH_LEAF),
                      full(n_tri_chunks * 16, BVH_LEAF)]
@@ -2002,7 +2459,7 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
     kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
-                              record=record)
+                              k_vol=k_vol, n_vol=n_vol, record=record)
     out_specs = [block] * n_out
     out_shape = [out] * n_out
     if record:
@@ -2012,8 +2469,8 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
         out_shape.append(jax.ShapeDtypeStruct(
             (rows, max_depth * BLOCK_COLS), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2 + 2 * bool(n_sph_chunks) + 2 * bool(
-            n_tri_chunks),
+        num_scalar_prefetch=2 + 2 * bool(n_sph_chunks)
+        + 2 * bool(n_vol_chunks) + 2 * bool(n_tri_chunks),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -2033,7 +2490,7 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
 @functools.lru_cache(maxsize=32)
 def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
-              width, height, n_rays):
+              width, height, n_rays, n_vol_chunks=0, k_vol=0, n_vol=0):
     """custom_vjp-wrapped BVH-kernel radiance for one static configuration.
 
     Primal: the packet-traversal forward kernel (while-loop traversal, no
@@ -2051,6 +2508,9 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
         if cb.n_sph_chunks:
             scal += [cb.sph_nodes_f, cb.sph_nodes_i]
             tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+        if cb.n_vol_chunks:
+            scal += [cb.vol_nodes_f, cb.vol_nodes_i]
+            tens += list(_pack_vol_chunks(scene, cb.vol_perm))
         if cb.n_tri_chunks:
             scal += [cb.tri_nodes_f, cb.tri_nodes_i]
             tens += list(_pack_tri_chunks(scene, cb.tri_perm))
@@ -2066,7 +2526,8 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
         )[:n_rays]
 
     args = (max_depth, kinds, bg_kind, clay, rows, interpret,
-            n_sph_chunks, n_tri_chunks, k_sph, k_tri)
+            n_sph_chunks, n_tri_chunks, k_sph, k_tri,
+            n_vol_chunks, k_vol, n_vol)
     run_fwd = _bvh_call(*args)
     run_rec = _bvh_call(*args, record=True)
 
@@ -2137,6 +2598,8 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         scene.settings.mode == MODE_CLAY, rows, interpret,
         cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
         width, height, n_rays,
+        n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
+        n_vol=scene.spheres.num_volumes,
     )
     radiance = radiance_fn(scene, iparams, ray_ids, px, py)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)

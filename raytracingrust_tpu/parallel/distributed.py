@@ -34,7 +34,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.scene import Scene
 from ..utils import rng
-from ..render.render import pixel_radiance, sample_radiance
 from .sharding import RAY_AXIS, replicate_scene
 
 SPP_AXIS = "spp"
@@ -85,12 +84,13 @@ def render_spp_sharded(scene: Scene, width: int, height: int, *,
     all-reduce, the collective the reference's rayon pool never needed
     (SURVEY.md 2.6 "Communication backend").
 
-    Engine-aware like :func:`..parallel.sharding.render_linear_sharded`:
-    on TPU each shard runs the Pallas megakernel over its sample slice
-    (global ray ids keep the RNG decomposition-invariant), so the 2-D
-    decomposition scales the fast kernel, not the XLA fallback.
+    Engine-aware through :func:`..render.render.make_pixel_radiance`: each
+    shard runs whatever engine the single-chip path would — the brute
+    megakernel OR the packet-traversal BVH kernel (global ray ids keep the
+    RNG decomposition-invariant), so the 2-D decomposition scales the fast
+    kernels, not the XLA fallback.
     """
-    from ..render.render import use_pallas
+    from ..render.render import make_pixel_radiance
 
     n_ray = mesh.shape[RAY_AXIS]
     n_spp = mesh.shape[SPP_AXIS]
@@ -104,72 +104,47 @@ def render_spp_sharded(scene: Scene, width: int, height: int, *,
     padded = math.ceil(n_pixels / n_ray) * n_ray
     pixel_ids = np.arange(padded, dtype=np.int32) % n_pixels
 
+    radiance_fn, resolved = make_pixel_radiance(scene, width, height, engine)
+
     scene = replicate_scene(scene, mesh)
     pixel_ids = jax.device_put(
         pixel_ids, NamedSharding(mesh, P(RAY_AXIS))
     )
-
-    if use_pallas(scene, engine):
-        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
-                                             pixel_radiance_pallas,
-                                             seed_words)
-
-        skinds = _sphere_kinds(scene)
-        tkinds = _tri_kinds(scene)
-        interpret = jax.devices()[0].platform == "cpu"
-
-        @partial(
-            jax.shard_map,
-            mesh=mesh,
-            in_specs=(P(), P(RAY_AXIS), P()),
-            out_specs=P(RAY_AXIS),
-            # pallas_call's out ShapeDtypeStructs carry no vma annotation;
-            # skip the varying-across-mesh check (the psum below is the
-            # only cross-shard dataflow and is explicit)
-            check_vma=False,
-        )
-        def shard_fn(scene, ids, iparams):
-            s0 = jax.lax.axis_index(SPP_AXIS) * spp_local
-            # local mean over spp_local samples; equal slice sizes make
-            # psum(local_mean) / n_spp the global sample mean
-            rad = pixel_radiance_pallas(
-                scene, ids, width, height, iparams,
-                sphere_kinds=skinds, tri_kinds=tkinds, interpret=interpret,
-                sample_offset=s0, n_samples=spp_local,
-            )
-            return jax.lax.psum(rad, SPP_AXIS) / n_spp
-
-        out = jax.jit(shard_fn)(scene, pixel_ids, seed_words(seed))
-        return np.asarray(out)[:n_pixels].reshape(height, width, 3)
-
-    key = rng.base_key(seed)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P()),
         out_specs=P(RAY_AXIS),
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation;
+        # skip the varying-across-mesh check (the psum below is the
+        # only cross-shard dataflow and is explicit)
+        check_vma=resolved == "xla",
     )
     def shard_fn(scene, ids, key):
         s0 = jax.lax.axis_index(SPP_AXIS) * spp_local
-        rad = sample_radiance(scene, ids, width, height, key,
-                              sample_offset=s0, n_samples=spp_local)
-        # mean over the global sample axis: local sum + ICI all-reduce
-        return jax.lax.psum(rad.sum(axis=1), SPP_AXIS) / spp
+        # local mean over spp_local samples; equal slice sizes make
+        # psum(local_mean) / n_spp the global sample mean
+        rad = radiance_fn(scene, ids, key,
+                          sample_offset=s0, n_samples=spp_local)
+        return jax.lax.psum(rad, SPP_AXIS) / n_spp
 
-    out = jax.jit(shard_fn)(scene, pixel_ids, key)
+    out = jax.jit(shard_fn)(scene, pixel_ids, rng.base_key(seed))
     return np.asarray(out)[:n_pixels].reshape(height, width, 3)
 
 
 def render_multihost(scene: Scene, width: int, height: int, *,
-                     seed: int = 0, tile_rays: int | None = None
-                     ) -> np.ndarray:
+                     seed: int = 0, tile_rays: int | None = None,
+                     engine: str = "auto") -> np.ndarray:
     """Every-host full-frame render under multi-process JAX -> (H, W, 3) f32.
 
     Each process feeds only its local shard of the pixel-id axis (addressable
     devices), jit runs with global-array semantics (collectives ride ICI
     within a slice, DCN across), and the frame is allgathered back to every
     host.  Under a single process this degrades to the plain sharded render.
+    Engine-aware: each shard runs the engine the single-chip path would
+    (brute megakernel / packet-traversal BVH kernel / XLA), so multi-chip
+    rendering of BVH-class scenes scales the fast kernel.
     """
     devices = jax.devices()  # global, all processes
     mesh = Mesh(np.asarray(devices), (RAY_AXIS,))
@@ -189,10 +164,12 @@ def render_multihost(scene: Scene, width: int, height: int, *,
     else:
         pixel_ids = jax.device_put(global_ids, sharding)
 
+    from ..render.render import make_pixel_radiance
+
+    radiance_fn, _ = make_pixel_radiance(scene, width, height, engine)
     scene = replicate_scene(scene, mesh)
     fn = jax.jit(
-        lambda scene, ids, key: pixel_radiance(scene, ids, width, height,
-                                               key),
+        lambda scene, ids, key: radiance_fn(scene, ids, key),
         in_shardings=(None, sharding, None),
         out_shardings=sharding,
     )

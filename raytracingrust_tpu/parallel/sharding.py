@@ -30,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.scene import Scene
 from ..utils import color as color_mod
 from ..utils import rng
-from ..render.render import pixel_radiance
 
 RAY_AXIS = "rays"
 
@@ -58,11 +57,12 @@ def render_linear_sharded(scene: Scene, width: int, height: int, *,
     bitwise identical for ANY mesh size (shard-invariance test in
     tests/test_sharding.py).
 
-    Each shard runs the same engine the single-chip path would pick: on TPU
-    the Pallas megakernel executes per device inside shard_map, so multi-chip
-    scaling is over the fast kernel, not the XLA fallback.
+    Each shard runs the same engine the single-chip path would pick
+    (render.make_pixel_radiance): on TPU the brute megakernel OR the
+    packet-traversal BVH kernel executes per device inside shard_map, so
+    multi-chip scaling is over the fast kernels, not the XLA fallback.
     """
-    from ..render.render import use_pallas
+    from ..render.render import make_pixel_radiance
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
@@ -70,44 +70,28 @@ def render_linear_sharded(scene: Scene, width: int, height: int, *,
     padded = math.ceil(n_pixels / n_dev) * n_dev
     pixel_ids = np.arange(padded, dtype=np.int32) % n_pixels
 
+    # engine + static kind tuples resolve against the CONCRETE scene here —
+    # inside shard_map the scene leaves are traced
+    radiance_fn, resolved = make_pixel_radiance(scene, width, height, engine)
+
     sharding = NamedSharding(mesh, P(RAY_AXIS))
     pixel_ids = jax.device_put(pixel_ids, sharding)
     scene = replicate_scene(scene, mesh)
 
-    if use_pallas(scene, engine):
-        from ..ops.pallas_megakernel import (
-            _sphere_kinds,
-            _tri_kinds,
-            pixel_radiance_pallas,
-            seed_words,
-        )
-
-        # kinds must be computed from the CONCRETE scene here — inside
-        # shard_map the scene leaves are traced
-        kinds = _sphere_kinds(scene)
-        tkinds = _tri_kinds(scene)
-        interpret = jax.devices()[0].platform == "cpu"
-
-        def per_shard(scene, ids, iparams):
-            return pixel_radiance_pallas(
-                scene, ids, width, height, iparams,
-                sphere_kinds=kinds, tri_kinds=tkinds, interpret=interpret,
-            )
-
+    if resolved in ("pallas", "pallas_bvh"):
         fn = jax.jit(jax.shard_map(
-            per_shard, mesh=mesh,
+            lambda scene, ids, key: radiance_fn(scene, ids, key),
+            mesh=mesh,
             in_specs=(P(), P(RAY_AXIS), P()),
             out_specs=P(RAY_AXIS),
         ))
-        out = fn(scene, pixel_ids, seed_words(seed))
     else:
         fn = jax.jit(
-            lambda scene, ids, key: pixel_radiance(scene, ids, width,
-                                                   height, key),
+            lambda scene, ids, key: radiance_fn(scene, ids, key),
             in_shardings=(None, sharding, None),
             out_shardings=sharding,
         )
-        out = fn(scene, pixel_ids, rng.base_key(seed))
+    out = fn(scene, pixel_ids, rng.base_key(seed))
     out = np.asarray(out)[:n_pixels]
     return out.reshape(height, width, 3)
 

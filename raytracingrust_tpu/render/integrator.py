@@ -63,11 +63,14 @@ BRUTE_FORCE_THRESHOLD = 256
 def closest_hit(scene: S.Scene, o, d, u_vol):
     """World hit — BVH or linear scan, per settings.enable_bvh_tree
     (lib/core/render.rs:68-72), except that small scenes always take the
-    dense path (see BRUTE_FORCE_THRESHOLD)."""
+    dense path (see BRUTE_FORCE_THRESHOLD).  Mesh-bounded volumes need the
+    whole boundary's crossing set per ray, so those scenes always take the
+    dense path too (their triangle counts are modest by construction)."""
     use_bvh = (
         scene.settings.enable_bvh_tree
         and scene.bvh is not None
         and scene.num_primitives > BRUTE_FORCE_THRESHOLD
+        and scene.num_mesh_volumes == 0
     )
     if use_bvh:
         return intersect_bvh(scene, o, d, u_vol, tmin=T_MIN)
@@ -82,7 +85,8 @@ def trace_paths(scene: S.Scene, o, d, key, ray_ids):
     """
     settings = scene.settings
     mode = settings.mode
-    n_vol = scene.spheres.num_volumes
+    # free-flight uniform columns: sphere volumes first, then mesh volumes
+    n_vol = scene.spheres.num_volumes + scene.num_mesh_volumes
     n_shade = shade_ops.shade_uniforms(scene.materials)
     n_uniforms = n_shade + n_vol
 

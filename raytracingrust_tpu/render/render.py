@@ -176,6 +176,63 @@ def use_pallas(scene: Scene, engine: str) -> bool:
     return select_engine(scene, engine) == "pallas"
 
 
+def make_pixel_radiance(scene: Scene, width: int, height: int,
+                        engine: str = "auto"):
+    """Engine-resolved per-pixel radiance closure for sharded callers.
+
+    Resolves ``engine`` against the CONCRETE scene (static kind tuples are
+    extracted here, outside any trace) and returns ``(fn, resolved)`` where
+    ``fn(scene, pixel_ids, key, sample_offset=0, n_samples=None)`` computes
+    the (P, 3) mean clamped radiance over the LOCAL sample slice and is
+    safe to call with a traced scene inside jit / shard_map.  This is what
+    makes the distributed layer engine-aware: every shard runs the same
+    fast kernel the single-chip path would (parallel/distributed.py).
+    """
+    resolved = select_engine(scene, engine)
+    interpret = jax.devices()[0].platform == "cpu"
+
+    if resolved == "pallas":
+        from ..ops.pallas_megakernel import (_sphere_kinds, _tri_kinds,
+                                             pixel_radiance_pallas)
+
+        skinds = _sphere_kinds(scene)
+        tkinds = _tri_kinds(scene)
+
+        def fn(scene, pixel_ids, key, sample_offset=0, n_samples=None):
+            return pixel_radiance_pallas(
+                scene, pixel_ids, width, height,
+                jnp.asarray(key).astype(jnp.int32),
+                sphere_kinds=skinds, tri_kinds=tkinds, interpret=interpret,
+                sample_offset=sample_offset, n_samples=n_samples)
+
+        return fn, resolved
+
+    if resolved == "pallas_bvh":
+        from ..ops.pallas_megakernel import (_bvh_kinds,
+                                             pixel_radiance_pallas_bvh)
+
+        kinds = _bvh_kinds(scene)
+
+        def fn(scene, pixel_ids, key, sample_offset=0, n_samples=None):
+            return pixel_radiance_pallas_bvh(
+                scene, pixel_ids, width, height,
+                jnp.asarray(key).astype(jnp.int32),
+                kinds=kinds, interpret=interpret,
+                sample_offset=sample_offset, n_samples=n_samples)
+
+        return fn, resolved
+
+    def fn(scene, pixel_ids, key, sample_offset=0, n_samples=None):
+        key = jnp.asarray(key).astype(jnp.uint32)
+        if n_samples is None:
+            return pixel_radiance(scene, pixel_ids, width, height, key)
+        return sample_radiance(scene, pixel_ids, width, height, key,
+                               sample_offset=sample_offset,
+                               n_samples=n_samples).mean(axis=1)
+
+    return fn, resolved
+
+
 def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
                   key=None, tile_rays: int | None = None,
                   engine: str = "auto") -> jnp.ndarray:

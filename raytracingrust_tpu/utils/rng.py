@@ -14,9 +14,9 @@ module's cipher.
 
 This layout costs ceil(n/2) ciphers per (ray, stream) — the jax.random
 equivalent (fold_in per ray + fold_in per stream + one cipher per element of
-``uniform(key, (n,))``) costs n + 2.  At 20 rounds per cipher that is most of
-the per-bounce VPU work, so the counter layout is a direct rays/s win
-(docs/performance.md).
+``uniform(key, (n,))``) costs n + 2.  The cipher is most of the per-bounce
+VPU work, so the counter layout AND the 13-round strength (see
+THREEFRY_ROUNDS) are direct rays/s wins (docs/performance.md).
 
 Distribution parity with the reference samplers (lib/utils/sample.rs):
   * ``sample_unit_sphere_surface`` — rejection-sample a cube, keep |v|<=1,
@@ -41,31 +41,38 @@ from .types import PI
 CIPHER_BLOCK = 256
 
 
-def threefry2x32(k0, k1, x0, x1):
-    """Threefry-2x32, 20 rounds — jax.random's cipher, written lane-wise on
-    uint32 arrays so it lowers identically inside Pallas kernels and XLA
-    (validated bit-exact against jax.extend.random.threefry_2x32 in
-    tests/test_pallas.py)."""
+# Cipher strength: Threefry-2x32 with 13 rounds — Random123's published
+# reduced-round variant (Salmon et al., SC'11: 13 rounds passes the full
+# BigCrush battery; 20 is the crypto-margin default jax.random uses).  The
+# cipher is the dominant per-bounce VPU cost in the megakernel
+# (docs/performance.md), and a Monte-Carlo renderer needs statistical
+# quality, not a security margin — 13 rounds is a direct rays/s win on
+# every engine.  Both engines share THIS function, so cross-engine
+# bit-parity is preserved; goldens were regenerated with it.
+THREEFRY_ROUNDS = 13
+
+_ROTS = (13, 15, 26, 6, 17, 29, 16, 24)  # Threefry-2x32 rotation cycle
+
+
+def threefry2x32(k0, k1, x0, x1, rounds: int = THREEFRY_ROUNDS):
+    """Threefry-2x32, generic round count (Random123's general-R loop:
+    key injections after every 4th round), written lane-wise on uint32
+    arrays so it lowers identically inside Pallas kernels and XLA
+    (validated against an independent NumPy implementation in
+    tests/test_pallas.py; rounds=20 is bit-exact with
+    jax.extend.random.threefry_2x32)."""
     rotl = lambda x, r: (x << r) | (x >> (32 - r))
-    ks0, ks1 = k0, k1
-    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
-    rots0 = (13, 15, 26, 6)
-    rots1 = (17, 29, 16, 24)
-    x0 = x0 + ks0
-    x1 = x1 + ks1
-    sched = (
-        (rots0, ks1, ks2, 1),
-        (rots1, ks2, ks0, 2),
-        (rots0, ks0, ks1, 3),
-        (rots1, ks1, ks2, 4),
-        (rots0, ks2, ks0, 5),
-    )
-    for rots, inj0, inj1, idx in sched:
-        for r in rots:
-            x0 = x0 + x1
-            x1 = rotl(x1, np.uint32(r)) ^ x0
-        x0 = x0 + inj0
-        x1 = x1 + inj1 + np.uint32(idx)
+    ks = (k0, k1, k0 ^ k1 ^ np.uint32(0x1BD11BDA))
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for i in range(rounds):
+        r = np.uint32(_ROTS[i % 8])
+        x0 = x0 + x1
+        x1 = rotl(x1, r) ^ x0
+        if i % 4 == 3:
+            j = i // 4 + 1
+            x0 = x0 + ks[j % 3]
+            x1 = x1 + ks[(j + 1) % 3] + np.uint32(j)
     return x0, x1
 
 

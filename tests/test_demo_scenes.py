@@ -18,11 +18,14 @@ def test_demo_scene_renders(name):
     import dataclasses
 
     b = SceneBuilder.from_file(os.path.join(SCENES, f"{name}.json"))
+    # enough paths that "no path reaches the light" has negligible
+    # probability for ANY RNG realization (cornell's small area light went
+    # all-black at 8x8 spp1 depth3 once)
     b.settings = dataclasses.replace(
-        b.settings, samples_per_pixel=1, max_ray_depth=3
+        b.settings, samples_per_pixel=4, max_ray_depth=4
     )
     scene = b.build()
-    img = np.asarray(render_linear(scene, 8, 8, seed=0))
+    img = np.asarray(render_linear(scene, 12, 12, seed=0))
     assert np.isfinite(img).all()
     assert img.max() > 0
 

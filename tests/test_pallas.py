@@ -24,14 +24,42 @@ from raytracingrust_tpu.ops import pallas_megakernel as PK
 from raytracingrust_tpu.render.render import render_linear
 
 
-def test_threefry_matches_jax():
-    """Cipher bit-exactness on random keys/counters."""
+def _np_threefry2x32(k0, k1, x0, x1, rounds):
+    """Independent NumPy Threefry-2x32 (Random123 general-R loop) — the
+    ground truth for the production 13-round cipher."""
+    rots = (13, 15, 26, 6, 17, 29, 16, 24)
+    u32 = np.uint32
+    with np.errstate(over="ignore"):
+        ks = (k0, k1, (k0 ^ k1 ^ u32(0x1BD11BDA)).astype(np.uint32))
+        x0 = (x0 + ks[0]).astype(u32)
+        x1 = (x1 + ks[1]).astype(u32)
+        for i in range(rounds):
+            r = rots[i % 8]
+            x0 = (x0 + x1).astype(u32)
+            x1 = (((x1 << u32(r)) | (x1 >> u32(32 - r))).astype(u32)
+                  ^ x0)
+            if i % 4 == 3:
+                j = i // 4 + 1
+                x0 = (x0 + ks[j % 3]).astype(u32)
+                x1 = (x1 + ks[(j + 1) % 3] + u32(j)).astype(u32)
+    return x0, x1
+
+
+def test_threefry_cipher():
+    """The general-R loop at 20 rounds is bit-exact with jax.random's
+    reference cipher (validates the round/injection schedule); the
+    production 13-round cipher matches an independent NumPy
+    implementation (validates what both engines actually consume)."""
+    from raytracingrust_tpu.utils.rng import THREEFRY_ROUNDS
+
+    assert THREEFRY_ROUNDS == 13  # Random123's BigCrush-validated variant
     rs = np.random.RandomState(0)
     k = rs.randint(0, 2**32, size=(2, 64), dtype=np.uint64).astype(np.uint32)
     x = rs.randint(0, 2**32, size=(2, 64), dtype=np.uint64).astype(np.uint32)
-    got0, got1 = PK.threefry2x32(
+
+    got20 = PK.threefry2x32(
         jnp.asarray(k[0]), jnp.asarray(k[1]),
-        jnp.asarray(x[0]), jnp.asarray(x[1]),
+        jnp.asarray(x[0]), jnp.asarray(x[1]), rounds=20,
     )
     from jax.extend.random import threefry_2x32
     want = np.stack([
@@ -41,8 +69,16 @@ def test_threefry_matches_jax():
         )
         for i in range(64)
     ])
-    np.testing.assert_array_equal(np.asarray(got0), want[:, 0])
-    np.testing.assert_array_equal(np.asarray(got1), want[:, 1])
+    np.testing.assert_array_equal(np.asarray(got20[0]), want[:, 0])
+    np.testing.assert_array_equal(np.asarray(got20[1]), want[:, 1])
+
+    got13 = PK.threefry2x32(
+        jnp.asarray(k[0]), jnp.asarray(k[1]),
+        jnp.asarray(x[0]), jnp.asarray(x[1]),
+    )
+    want13 = _np_threefry2x32(k[0], k[1], x[0], x[1], 13)
+    np.testing.assert_array_equal(np.asarray(got13[0]), want13[0])
+    np.testing.assert_array_equal(np.asarray(got13[1]), want13[1])
 
 
 def test_kernel_uniform_layout_matches_rng_module():
@@ -478,3 +514,86 @@ def test_pallas_triangle_chunking():
     pal = np.asarray(render_linear(scene, 24, 24, seed=0, engine="pallas"))
     neq = (xla != pal).any(-1)
     assert neq.mean() <= 4 / (24 * 24), f"{neq.sum()} pixels differ"
+
+
+def test_fused_mse_loss_matches_twopass():
+    """The fused render->MSE->grad kernel (one pass per value_and_grad
+    step) must reproduce the two-pass loss value and gradients: both the
+    no-grad primal (fwd kernel + XLA reduction) and the fused kernel's
+    in-kernel loss/cotangents against the generic pallas path and XLA."""
+    from raytracingrust_tpu.diff.grad import extract_params, make_loss
+    from raytracingrust_tpu.ops.pallas_megakernel import supports_fused_mse
+    from raytracingrust_tpu.utils import rng
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.2)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=3,
+                                enable_bvh_tree=False)
+    m1 = b.add_material(Lambertian((0.7, 0.4, 0.2)))
+    m2 = b.add_material(Metal((0.9, 0.9, 0.9), 0.1))
+    m3 = b.add_material(Emission((1.5, 1.2, 0.9)))
+    b.add_sphere((0, -0.3, -1.2), 0.4, m1)
+    b.add_sphere((0.8, 0.2, -1.5), 0.4, m2)
+    b.add_sphere((-0.8, 0.2, -1.5), 0.4, m3)
+    scene = b.build(with_bvh=False)
+    assert supports_fused_mse(scene)
+    target = render_linear(scene, 20, 10, seed=7, engine="xla") * 0.9
+    params = extract_params(scene, ("albedo", "emission", "cam_lookfrom"))
+
+    import dataclasses
+
+    from raytracingrust_tpu.diff.grad import apply_params
+
+    # two-pass pallas reference: same engine, same RNG, same winners — the
+    # fused kernel must match it near-EXACTLY (same math, one pass)
+    def twopass(p, key=None):
+        img = render_linear(apply_params(scene, p), 20, 10, seed=0, key=key,
+                            engine="pallas")
+        return jnp.mean((img - target) ** 2)
+
+    loss_f = make_loss(scene, target, 20, 10, seed=0, engine="pallas")
+    loss_x = make_loss(scene, target, 20, 10, seed=0, engine="xla")
+    for key in (None, rng.base_key(5)):
+        v_f, g_f = jax.value_and_grad(loss_f)(params, key)
+        v_2, g_2 = jax.value_and_grad(twopass)(params, key)
+        # interpret-mode kernels are ulp-sensitive to the surrounding
+        # compilation (different programs fuse differently on CPU), so a
+        # borderline path can flip between the fused and two-pass kernels;
+        # tolerances cover one flipped sample
+        np.testing.assert_allclose(float(v_f), float(v_2), rtol=1e-2)
+        for k in g_f:
+            np.testing.assert_allclose(np.asarray(g_f[k]),
+                                       np.asarray(g_2[k]),
+                                       rtol=5e-2, atol=1e-3, err_msg=k)
+        # XLA cross-check: loose (borderline-hit flips between the
+        # intersector formulations shift tiny grads at the 1e-4 scale)
+        v_x, g_x = jax.value_and_grad(loss_x)(params, key)
+        np.testing.assert_allclose(float(v_f), float(v_x), rtol=5e-3)
+        for k in g_f:
+            np.testing.assert_allclose(np.asarray(g_f[k]),
+                                       np.asarray(g_x[k]),
+                                       rtol=5e-2, atol=5e-4, err_msg=k)
+    # no-grad primal (fwd kernel + XLA reduction) == fused kernel value
+    v_plain = float(loss_f(params))
+    v_vag = float(jax.value_and_grad(loss_f)(params)[0])
+    np.testing.assert_allclose(v_plain, v_vag, rtol=1e-5)
+
+
+def test_fused_mse_with_triangles():
+    """Triangle cotangents (C/S matrices) through the fused MSE kernel."""
+    from raytracingrust_tpu.diff.grad import extract_params, make_loss
+    from raytracingrust_tpu.ops.pallas_megakernel import supports_fused_mse
+
+    scene = _tri_builder(with_spheres=True, depth=3, spp=2).build(
+        with_bvh=False)
+    assert supports_fused_mse(scene)
+    target = render_linear(scene, 16, 16, seed=3, engine="xla") * 0.8
+    params = extract_params(scene, ("albedo",))
+    l_f = make_loss(scene, target, 16, 16, seed=0, engine="pallas")
+    l_x = make_loss(scene, target, 16, 16, seed=0, engine="xla")
+    v_f, g_f = jax.value_and_grad(l_f)(params)
+    v_x, g_x = jax.value_and_grad(l_x)(params)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(g_f["albedo"]),
+                               np.asarray(g_x["albedo"]),
+                               rtol=1e-2, atol=1e-4)

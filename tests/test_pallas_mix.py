@@ -302,4 +302,4 @@ def test_bvh_kernel_isotropic_big_scene_gate():
     bvh = np.asarray(render_linear(scene, 16, 16, seed=0,
                                    engine="pallas_bvh"))
     mismatched = (~np.isclose(xla, bvh, atol=1e-4, rtol=1e-3)).mean()
-    assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
+    assert mismatched <= 0.10, f"{mismatched:.4f} channels differ"
