@@ -92,15 +92,17 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
         import jax as _jax
 
         from ..ops.pallas_megakernel import supports, supports_bvh
-        from ..render.render import TPU_MAX_BRUTE_TRIS
 
-        # The fused grad kernel's VMEM envelope is tighter than supports():
-        # triangle-chunk matmul residuals are retained per bounce under
-        # jax.vjp, and already the FORWARD kernel measured over the scoped-
-        # VMEM limit at 4,096 tris (render.py:TPU_MAX_BRUTE_TRIS).  Bigger
-        # triangle fits use the BVH record-and-replay path.
+        # TRIANGLE gradients never take the brute kernel on real TPUs: its
+        # in-kernel vjp through the triangle-chunk matmuls crashes the
+        # Mosaic compiler (SIGABRT) at ANY triangle count — measured on
+        # v5e at 16/128/256/512/1024 tris, fused AND two-pass variants
+        # (docs/performance.md; r2 only ever ran tri-grads in interpret
+        # mode).  Triangle fits use the BVH record-and-replay path, which
+        # compiles and runs at any size; sphere-only scenes (the proven
+        # envelope, bench.py's headline) keep the fused brute kernel.
         on_tpu = _jax.devices()[0].platform != "cpu"
-        fits = supports(scene) and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS
+        fits = supports(scene) and len(scene.triangles) == 0
         if not on_tpu:
             engine = "xla"
         elif fits:

@@ -918,11 +918,15 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     two baked leaf-parameter sets blended by the level-0 mix coin
     (lib/materials.rs:149-156 semantics; nested mixes are gated out by
     supports()).
-    ``record_ref``: BVH record mode — an (8, max_depth * 256) int32 output
-    ref receiving each bounce's winning chunk-slot id per ray (sphere tree
-    slots first, triangle slots offset by the sphere span; -1 = miss).
-    Requires ``unrolled`` (the per-bounce write index must be static); the
-    records feed the differentiable shading replay (diff/replay.py).
+    ``record_ref``: BVH record mode — a (max_depth * 8, 256) int32 output
+    ref receiving each bounce's winning chunk-slot id per ray at sublane
+    rows [b*8, (b+1)*8) (sphere tree slots first, volume then triangle
+    slots offset by the preceding spans; -1 = miss).  The write offset is
+    the traced bounce counter (dynamic SUBLANE stores are cheap), so
+    record mode works under the while_loop chain — required on real TPUs,
+    where unrolled+triangles does not compile (see _chain_unrolled).  The
+    caller must pre-initialize the ref to -1 (skipped bounces never
+    write).  Records feed the differentiable replay (diff/replay.py).
     Returns (rad_r, rad_g, rad_b); with ``bg_kind == SKYMAP`` additionally
     (mdx, mdy, mdz, mt_r, mt_g, mt_b) — the MISS direction and throughput
     recorded when each path escaped (zeros if it never did), for the
@@ -1140,7 +1144,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         # after one bounce instead of running all max_depth iterations
         # (docs/performance.md "dead-lane waste").  The liveness mask rides
         # the carry as f32 (Mosaic dislikes i1 loop state).
-        def bounce_body(state, record_slot=None):
+        def bounce_body(state):
             (b, ox, oy, oz, dx, dy, dz,
              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
              *miss, alive_f) = state
@@ -1166,7 +1170,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
 
             if bvh is not None:
                 # ---- intersect: chunk-leaf packet traversal (big scenes)
-                record = record_slot is not None
+                record = record_ref is not None
                 o3 = (ox, oy, oz)
                 d3 = (dx, dy, dz)
                 inv_dx = 1.0 / dx
@@ -1230,8 +1234,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                                                          else None)
                 hit = t_best < jnp.inf
                 if record:
-                    record_ref[:, record_slot * BLOCK_COLS:
-                               (record_slot + 1) * BLOCK_COLS] = (
+                    off = pl.multiple_of(b * BLOCK_ROWS, BLOCK_ROWS)
+                    record_ref[pl.ds(off, BLOCK_ROWS), :] = (
                         jnp.where(hit, code, -1))
 
                 safe_t = jnp.where(hit, t_best, 1.0)
@@ -1500,8 +1504,6 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         miss0 = (zero,) * 6 if skymap else ()
         state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
                  one, one, one, zero, zero, zero, *miss0, one)
-        assert record_ref is None or unrolled, \
-            "record mode needs the unrolled chain (static write slots)"
         if unrolled or os.environ.get("RTRT_MEGAKERNEL_UNROLL") == "1":
             # Static chain: required under vjp; also the perf-ablation knob
             # (measured equal on benchmark.json — docs/performance.md).
@@ -1510,10 +1512,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             # differentiating a value-carrying cond inside the fused grad
             # kernel ("failed to legalize operation 'scf.if'" on v5e),
             # regardless of carry dtypes.
-            for bi in range(max_depth):
-                state = bounce_body(
-                    state,
-                    record_slot=bi if record_ref is not None else None)
+            for _ in range(max_depth):
+                state = bounce_body(state)
         else:
             state = jax.lax.while_loop(bounce_cond, bounce_body, state)
         if skymap:
@@ -1527,14 +1527,22 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
 # loop-carry handling costs more than the dead-bounce work the early-out
 # saves.  Deep chains (mesh bench depth 50) keep the while_loop, where the
 # dead-lane integral is far larger and the unrolled program bloats.
+#
+# TRIANGLE scenes always keep the while_loop: unrolling the chain with the
+# in-kernel triangle matmuls crashes the Mosaic compiler on v5e (SIGABRT,
+# "Check failed: limits[i] <= dim(i) (2 vs. 1)") at ANY triangle count —
+# measured fwd (600 tris: unrolled FAILS, while_loop ok) and in every
+# vjp-unrolled grad variant.  Consequence: brute-kernel TRIANGLE gradients
+# (which require the unrolled chain under jax.vjp) cannot compile on real
+# TPUs at all; diff/grad.py routes them to the BVH record+replay path.
 UNROLL_MAX_DEPTH = 12
 
 
-def _chain_unrolled(max_depth: int) -> bool:
+def _chain_unrolled(max_depth: int, has_tris: bool = False) -> bool:
     knob = os.environ.get("RTRT_MEGAKERNEL_UNROLL")
     if knob is not None:
         return knob == "1"
-    return max_depth <= UNROLL_MAX_DEPTH
+    return max_depth <= UNROLL_MAX_DEPTH and not has_tris
 
 
 def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
@@ -1572,7 +1580,7 @@ def _make_kernel(n_spheres, max_depth, sphere_kinds, bg_kind, clay,
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=n_spheres, max_depth=max_depth,
             sphere_kinds=sphere_kinds, bg_kind=bg_kind, clay=clay,
-            unrolled=_chain_unrolled(max_depth), tri=tri,
+            unrolled=_chain_unrolled(max_depth, bool(tri_tb)), tri=tri,
             tri_kinds=tri_kinds, mix=mix, n_vol=n_vol,
         )
         for ref, val in zip(outs, vals):
@@ -2405,6 +2413,8 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
         if record:
             rec_ref = outs[-1]
             outs = outs[:-1]
+            # skipped/early-exited bounces leave well-defined miss records
+            rec_ref[...] = jnp.full(rec_ref.shape, -1, jnp.int32)
 
         seed_hi = iparams[0].astype(jnp.uint32)
         seed_lo = iparams[1].astype(jnp.uint32)
@@ -2416,7 +2426,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
         vals = _radiance_math(
             lambda i: fparams[i], k0, k1, ray_u32, px_ref[...], py_ref[...],
             n_spheres=0, max_depth=max_depth, sphere_kinds=(),
-            bg_kind=bg_kind, clay=clay, unrolled=record,
+            bg_kind=bg_kind, clay=clay, unrolled=False,
             tri=None, tri_kinds=kinds,
             bvh={"sph": sph, "vol": vol_, "tri": tri_},
             record_ref=rec_ref, n_vol=n_vol,
@@ -2463,11 +2473,15 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     out_specs = [block] * n_out
     out_shape = [out] * n_out
     if record:
+        # bounce rides SUBLANES (rows [b*8, (b+1)*8) per grid step): the
+        # kernel stores at a traced sublane offset, which Mosaic supports
+        # (dynamic LANE offsets are not cheap, and the unrolled chain that
+        # static lane slots would need does not compile with triangles)
         out_specs.append(pl.BlockSpec(
-            (BLOCK_ROWS, max_depth * BLOCK_COLS), lambda i, *_: (i, 0),
+            (max_depth * BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
             memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct(
-            (rows, max_depth * BLOCK_COLS), jnp.int32))
+            (rows * max_depth, BLOCK_COLS), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 + 2 * bool(n_sph_chunks)
         + 2 * bool(n_vol_chunks) + 2 * bool(n_tri_chunks),
@@ -2541,10 +2555,13 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
         fparams, scal, tens = prep(scene)
         *outs, rec = run_rec(iparams, fparams, scal, tens, ray_ids, px, py)
         primal = finish(scene, outs)
-        # (rows, depth*256) lane-sliced records -> (n_rays, depth)
-        rec = rec.reshape(rows, max_depth, BLOCK_COLS)
-        rec = rec.transpose(0, 2, 1).reshape(rows * BLOCK_COLS,
-                                             max_depth)[:n_rays]
+        # (rows * depth, 256) bounce-on-sublanes records: grid step g owns
+        # rows [g*depth*8, (g+1)*depth*8), bounce b its rows [b*8, (b+1)*8)
+        # -> per-ray (n_rays, depth)
+        grid = rows // BLOCK_ROWS
+        rec = rec.reshape(grid, max_depth, BLOCK_ROWS, BLOCK_COLS)
+        rec = rec.transpose(0, 2, 3, 1).reshape(rows * BLOCK_COLS,
+                                                max_depth)[:n_rays]
         return primal, (scene, rec, iparams, ray_ids, px, py)
 
     def radiance_bwd(res, ct):
