@@ -897,7 +897,7 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
                    tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0,
-                   record_ref=None):
+                   record_ref=None, gens=1):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -927,12 +927,25 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
     where unrolled+triangles does not compile (see _chain_unrolled).  The
     caller must pre-initialize the ref to -1 (skipped bounces never
     write).  Records feed the differentiable replay (diff/replay.py).
+    ``gens``: GENERATION-SCHEDULED wavefront (SURVEY section 7 hard part
+    (a), the compaction analog that fits a lane machine): the block's
+    metadata covers ``gens`` consecutive 2048-ray generations and every
+    lane, the moment its ray retires, immediately starts ITS OWN lane of
+    the next generation — a static per-lane schedule, so no scatters, no
+    queues, and bitwise-identical per-ray results (the RNG is keyed by
+    ray id alone).  The while_loop now exits when all G generations are
+    exhausted, so deep-chain waste (a block idling at the depth of its
+    longest ray) amortizes over G rays per lane.  Forward-only, no
+    skymap/record (per-lane miss records would need G register sets).
     Returns (rad_r, rad_g, rad_b); with ``bg_kind == SKYMAP`` additionally
     (mdx, mdy, mdz, mt_r, mt_g, mt_b) — the MISS direction and throughput
     recorded when each path escaped (zeros if it never did), for the
     driver's batched equirect lookup outside the kernel.
     """
     skymap = bg_kind == B.SKYMAP
+    assert gens == 1 or not (skymap or unrolled or record_ref is not None
+                             or mix), \
+        "generation scheduling: forward, non-skymap, while-loop only"
     present = _flat_kinds(sphere_kinds) | set(tri_kinds)
     lam = M.LAMBERTIAN in present
     met = M.METAL in present
@@ -949,16 +962,33 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         vx, vy, vz = f(_CAM + 6), f(_CAM + 7), f(_CAM + 8)
         llx, lly, llz = f(_CAM + 9), f(_CAM + 10), f(_CAM + 11)
 
-        # pixel jitter (stream 0) -> camera ray (lib/core/camera.rs:19-24)
-        j1, j2 = _stream_uniforms(k0, k1, ray_u32, 0, 2)
-        s = (px + j1) * f(_INV_W)
-        t = (py + j2) * f(_INV_H)
-        dx = llx + s * hx - t * vx - ox_c
-        dy = lly + s * hy - t * vy - oy_c
-        dz = llz + s * hz - t * vz - oz_c
-        ox = jnp.full_like(dx, 0.0) + ox_c
-        oy = jnp.full_like(dx, 0.0) + oy_c
-        oz = jnp.full_like(dx, 0.0) + oz_c
+        if gens > 1:
+            # generation-scheduled: the block metadata is (gens*8, 256);
+            # the WORKING registers stay (8, 256) (gen slices)
+            px_full, py_full, ray_full = px, py, ray_u32
+            k0 = k0[:BLOCK_ROWS]
+            k1 = k1[:BLOCK_ROWS]
+
+            def gen_slice(v, k):
+                return v[k * BLOCK_ROWS:(k + 1) * BLOCK_ROWS, :]
+
+            px, py = gen_slice(px_full, 0), gen_slice(py_full, 0)
+            ray_u32 = gen_slice(ray_full, 0)
+
+        def camera_ray(ray_u, px_g, py_g):
+            # pixel jitter (stream 0) -> camera ray (lib/core/camera.rs:19-24)
+            j1, j2 = _stream_uniforms(k0, k1, ray_u, 0, 2)
+            s = (px_g + j1) * f(_INV_W)
+            t = (py_g + j2) * f(_INV_H)
+            dx = llx + s * hx - t * vx - ox_c
+            dy = lly + s * hy - t * vy - oy_c
+            dz = llz + s * hz - t * vz - oz_c
+            ox = jnp.full_like(dx, 0.0) + ox_c
+            oy = jnp.full_like(dx, 0.0) + oy_c
+            oz = jnp.full_like(dx, 0.0) + oz_c
+            return ox, oy, oz, dx, dy, dz
+
+        ox, oy, oz, dx, dy, dz = camera_ray(ray_u32, px, py)
 
         one = jnp.ones_like(dx)
         zero = jnp.zeros_like(dx)
@@ -1144,7 +1174,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         # after one bounce instead of running all max_depth iterations
         # (docs/performance.md "dead-lane waste").  The liveness mask rides
         # the carry as f32 (Mosaic dislikes i1 loop state).
-        def bounce_body(state):
+        def bounce_body(state, ray_u32=ray_u32):
             (b, ox, oy, oz, dx, dy, dz,
              thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
              *miss, alive_f) = state
@@ -1500,6 +1530,74 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
         def bounce_cond(state):
             b, *_, alive_f = state
             return (b < max_depth) & (jnp.max(alive_f) > 0.0)
+
+        if gens > 1:
+            # ---- generation-scheduled wavefront (see docstring) ----
+            i32 = jnp.int32
+            zero_i = jnp.zeros(dx.shape, i32)
+
+            def sched_cond(st):
+                return jnp.max(st[13]) > 0.0
+
+            def sched_body(st):
+                core = st[:14]
+                ray_cur, g_lane = st[14], st[15]
+                accs = list(st[16:])
+                was_alive = core[13] > 0.0
+                (b, ox, oy, oz, dx, dy, dz,
+                 thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                 alive_f) = bounce_body(core, ray_u32=ray_cur)
+                # per-lane depth cutoff (the single-gen path encodes it in
+                # the loop condition; per-lane schedules need it per lane)
+                alive = (alive_f > 0.0) & (b < max_depth)
+                retired = was_alive & ~alive
+                for k in range(gens):
+                    sel = retired & (g_lane == k)
+                    accs[3 * k + 0] += jnp.where(sel, rad_r, 0.0)
+                    accs[3 * k + 1] += jnp.where(sel, rad_g, 0.0)
+                    accs[3 * k + 2] += jnp.where(sel, rad_b, 0.0)
+                # refill: this lane's ray of the NEXT generation
+                refill = retired & (g_lane < gens - 1)
+                g_new = g_lane + refill.astype(i32)
+                px_n, py_n = zero, zero
+                ray_n = jnp.zeros(dx.shape, jnp.uint32)
+                for k in range(1, gens):
+                    selk = g_new == k
+                    px_n = jnp.where(selk, gen_slice(px_full, k), px_n)
+                    py_n = jnp.where(selk, gen_slice(py_full, k), py_n)
+                    ray_n = jnp.where(selk, gen_slice(ray_full, k), ray_n)
+                nox, noy, noz, ndx, ndy, ndz = camera_ray(ray_n, px_n,
+                                                          py_n)
+
+                def m(new, old):
+                    return jnp.where(refill, new, old)
+
+                ox, oy, oz = m(nox, ox), m(noy, oy), m(noz, oz)
+                dx, dy, dz = m(ndx, dx), m(ndy, dy), m(ndz, dz)
+                thr_r, thr_g, thr_b = m(one, thr_r), m(one, thr_g), \
+                    m(one, thr_b)
+                rad_r = jnp.where(retired, 0.0, rad_r)
+                rad_g = jnp.where(retired, 0.0, rad_g)
+                rad_b = jnp.where(retired, 0.0, rad_b)
+                b = jnp.where(refill, 0, b)
+                ray_cur = jnp.where(refill, ray_n, ray_cur)
+                alive_f = jnp.where(refill | alive, 1.0, 0.0)
+                return (b, ox, oy, oz, dx, dy, dz,
+                        thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
+                        alive_f, ray_cur, g_new, *accs)
+
+            st0 = (zero_i, ox, oy, oz, dx, dy, dz,
+                   one, one, one, zero, zero, zero, one,
+                   ray_u32, zero_i) + (zero,) * (3 * gens)
+            fin = jax.lax.while_loop(sched_cond, sched_body, st0)
+            accs = fin[16:]
+            rad_r = jnp.concatenate([accs[3 * k + 0] for k in range(gens)],
+                                    axis=0)
+            rad_g = jnp.concatenate([accs[3 * k + 1] for k in range(gens)],
+                                    axis=0)
+            rad_b = jnp.concatenate([accs[3 * k + 2] for k in range(gens)],
+                                    axis=0)
+            return rad_r, rad_g, rad_b
 
         miss0 = (zero,) * 6 if skymap else ()
         state = (jnp.int32(0), ox, oy, oz, dx, dy, dz,
@@ -2266,14 +2364,16 @@ def seed_words(seed: int):
 
 
 def _prep_rays(pixel_ids, spp: int, width: int, sample_offset=0,
-               n_samples: int | None = None):
+               n_samples: int | None = None, block_mult: int = 1):
     """(pixel, sample) fan-out -> (ray_ids, px, py) as (rows, 256) blocks.
 
     ``sample_offset``/``n_samples`` select a slice of each pixel's sample
     range (spp sharding: parallel/distributed.py); ray ids stay GLOBAL
     (pixel * spp + global sample index) so any decomposition consumes the
     same uniforms.  ``sample_offset`` may be traced (axis_index inside
-    shard_map)."""
+    shard_map).  ``block_mult``: pad the ray count to a multiple of
+    ``block_mult * BLOCK`` (generation-scheduled kernels need ``gens``
+    whole generations per grid step)."""
     if n_samples is None:
         n_samples = spp
     p = pixel_ids.shape[0]
@@ -2287,7 +2387,7 @@ def _prep_rays(pixel_ids, spp: int, width: int, sample_offset=0,
     px = (pid % width).astype(jnp.float32)
     py = (pid // width).astype(jnp.float32)
 
-    pad = (-n_rays) % BLOCK
+    pad = (-n_rays) % (BLOCK * block_mult)
     if pad:
         ray_ids = jnp.concatenate([ray_ids, jnp.zeros(pad, jnp.int32)])
         px = jnp.concatenate([px, jnp.zeros(pad, jnp.float32)])
@@ -2376,7 +2476,7 @@ def _bvh_kinds(scene: Scene) -> tuple:
 
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
-                     k_vol=0, n_vol=0, record=False):
+                     k_vol=0, n_vol=0, record=False, gens=1):
     """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
     ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
     ride VMEM.  Tree order: solid spheres, volume spheres, triangles.
@@ -2429,7 +2529,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
             bg_kind=bg_kind, clay=clay, unrolled=False,
             tri=None, tri_kinds=kinds,
             bvh={"sph": sph, "vol": vol_, "tri": tri_},
-            record_ref=rec_ref, n_vol=n_vol,
+            record_ref=rec_ref, n_vol=n_vol, gens=gens,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -2440,14 +2540,18 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
 @functools.lru_cache(maxsize=32)
 def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
-              n_vol_chunks=0, k_vol=0, n_vol=0, record=False):
+              n_vol_chunks=0, k_vol=0, n_vol=0, record=False, gens=1):
     """pallas_call wrapper for one static BVH-kernel configuration.
     ``record`` appends an (rows, max_depth * 256) int32 output holding the
-    per-bounce winner records."""
+    per-bounce winner records.  ``gens`` > 1 makes each grid step cover
+    ``gens`` generations of 2048 rays (generation-scheduled wavefront;
+    requires rows % (8 * gens) == 0)."""
     shape2d = (rows, BLOCK_COLS)
-    grid = rows // BLOCK_ROWS
+    assert rows % (BLOCK_ROWS * gens) == 0
+    assert not (record and gens > 1)
+    grid = rows // (BLOCK_ROWS * gens)
     block = pl.BlockSpec(
-        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        (BLOCK_ROWS * gens, BLOCK_COLS), lambda i, *_: (i, 0),
         memory_space=pltpu.VMEM,
     )
     out = jax.ShapeDtypeStruct(shape2d, jnp.float32)
@@ -2469,7 +2573,8 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
     kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
-                              k_vol=k_vol, n_vol=n_vol, record=record)
+                              k_vol=k_vol, n_vol=n_vol, record=record,
+                              gens=gens)
     out_specs = [block] * n_out
     out_shape = [out] * n_out
     if record:
@@ -2504,7 +2609,8 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
 @functools.lru_cache(maxsize=32)
 def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
-              width, height, n_rays, n_vol_chunks=0, k_vol=0, n_vol=0):
+              width, height, n_rays, n_vol_chunks=0, k_vol=0, n_vol=0,
+              gens=1):
     """custom_vjp-wrapped BVH-kernel radiance for one static configuration.
 
     Primal: the packet-traversal forward kernel (while-loop traversal, no
@@ -2542,7 +2648,9 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     args = (max_depth, kinds, bg_kind, clay, rows, interpret,
             n_sph_chunks, n_tri_chunks, k_sph, k_tri,
             n_vol_chunks, k_vol, n_vol)
-    run_fwd = _bvh_call(*args)
+    # the primal may be generation-scheduled (pure scheduling — bitwise
+    # identical per ray); the record variant stays single-generation
+    run_fwd = _bvh_call(*args, gens=gens)
     run_rec = _bvh_call(*args, record=True)
 
     @jax.custom_vjp
@@ -2586,12 +2694,39 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     return radiance
 
 
+# Generation-count policy, from v5e measurements on the reference bench
+# shapes (docs/performance.md): deep chains win hugely from many
+# generations (monkey depth 50: 1.26M -> 11.5M rays/s from G=1 to G=128 —
+# per-lane dead-ray waste is THE cost there), shallow chains still gain
+# ~1.3x at G=8 (bvh_stress depth 6: 10.0M -> 13.4M).  G is capped by the
+# measured-safe VMEM envelope (metadata + accumulators scale with G) and
+# by the ray count (>= one full generation per grid step, so padding
+# never exceeds one generation).
+GENS_DEEP_DEPTH = 16
+GENS_DEEP_MAX = 64
+GENS_SHALLOW_MAX = 8
+
+
+def _pick_gens(max_depth: int, n_rays: int, bg_kind: int) -> int:
+    if bg_kind == B.SKYMAP:
+        return 1  # per-lane miss records would need G register sets
+    cap = GENS_DEEP_MAX if max_depth >= GENS_DEEP_DEPTH else GENS_SHALLOW_MAX
+    g = min(cap, max(1, n_rays // BLOCK))
+    # pallas grids want a power-of-two-ish divisor chain; keep g a power
+    # of two so rows % (8 * g) stays satisfiable by construction
+    p = 1
+    while p * 2 <= g:
+        p *= 2
+    return p
+
+
 def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
                               height: int, iparams, *,
                               kinds: tuple | None = None,
                               interpret: bool = False,
                               sample_offset=0,
-                              n_samples: int | None = None):
+                              n_samples: int | None = None,
+                              gens: int | None = None):
     """Mean clamped radiance per pixel -> (P, 3) via the packet-traversal
     kernel — the fast path for scenes beyond :func:`supports`' brute-force
     limits (gated by :func:`supports_bvh`).  DIFFERENTIABLE: the traversal
@@ -2605,9 +2740,15 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
     if kinds is None:
         kinds = _bvh_kinds(scene)
     spp = scene.settings.samples_per_pixel
+    if gens is None:
+        n = pixel_ids.shape[0] * (n_samples if n_samples is not None
+                                  else spp)
+        gens = _pick_gens(scene.settings.max_ray_depth, n,
+                          scene.background.kind)
     p = pixel_ids.shape[0]
     ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width,
-                                               sample_offset, n_samples)
+                                               sample_offset, n_samples,
+                                               block_mult=gens)
     n_local = n_samples if n_samples is not None else spp
 
     radiance_fn = _bvh_cvjp(
@@ -2616,7 +2757,7 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
         width, height, n_rays,
         n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
-        n_vol=scene.spheres.num_volumes,
+        n_vol=scene.spheres.num_volumes, gens=gens,
     )
     radiance = radiance_fn(scene, iparams, ray_ids, px, py)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)

@@ -568,3 +568,50 @@ def test_bvh_volume_grad_fd():
         np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-3)
         live += abs(got) > 1e-6
     assert live >= 1, "volume albedo gradient should be live"
+
+
+# ------------------------------------------- generation-scheduled wavefront
+
+def test_bvh_generations_bitwise():
+    """Generation scheduling (SURVEY section 7 hard part (a)) is PURE
+    scheduling: every ray's RNG and math depend only on its global id, so
+    the G=4 generation-scheduled kernel must be BITWISE identical to the
+    plain G=1 kernel."""
+    import jax.numpy as jnp
+
+    from raytracingrust_tpu.utils import rng as rng_mod
+
+    scene = grid_builder(n=6, depth=20, spp=2).build(with_bvh=True)
+    assert PK.supports_bvh(scene)
+    w = h = 16
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    iparams = PK.seed_words(0)
+
+    out1 = np.asarray(PK.pixel_radiance_pallas_bvh(
+        scene, pixel_ids, w, h, iparams, interpret=True, gens=1))
+    for g in (4, 16):
+        outg = np.asarray(PK.pixel_radiance_pallas_bvh(
+            scene, pixel_ids, w, h, iparams, interpret=True, gens=g))
+        np.testing.assert_array_equal(out1, outg)
+
+
+def test_bvh_generations_auto_policy_and_grad():
+    """Deep chains auto-select generations; the custom_vjp still
+    differentiates (the record path stays single-generation)."""
+    import dataclasses
+
+    scene = grid_builder(n=6, depth=20, spp=1).build(with_bvh=True)
+
+    def loss(albedo):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0].set(albedo))
+        s2 = dataclasses.replace(scene, materials=mats)
+        img = render_linear(s2, 12, 12, seed=0, engine="pallas_bvh")
+        return jnp.sum(img ** 2)
+
+    a0 = jnp.array([0.7, 0.3, 0.2], jnp.float32)
+    v, g = jax.value_and_grad(loss)(a0)
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
