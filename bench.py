@@ -46,7 +46,8 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=6)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--forward-only", action="store_true")
@@ -102,16 +103,24 @@ def main(argv=None) -> int:
 
     # FRESH inputs per iteration: the TPU tunnel deduplicates identical
     # dispatches and can report fake times (docs/performance.md)
+    n_calls = args.warmup + args.iters
     variants = [jax.tree.map(lambda x: x + 1e-7 * i, params)
-                for i in range(args.iters + 1)]
+                for i in range(n_calls + 1)]
 
-    # compile
+    # compile + warm the dispatch pipeline: the first dispatches after a
+    # compile pay ~20 ms of one-time tunnel/queue latency that a real fit
+    # loop (hundreds of steps) never sees again — measured r4: 5-iter
+    # averages read 150-220 M rays/s for a kernel whose steady state is
+    # ~350 M (scripts/profile_fit.py ablation A vs D)
     out = step(variants[0])
+    jax.block_until_ready(out)
+    for i in range(args.warmup):
+        out = step(variants[i + 1])
     jax.block_until_ready(out)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
-        out = step(variants[i + 1])
+        out = step(variants[args.warmup + i + 1])
     jax.block_until_ready(out)
     elapsed = (time.perf_counter() - t0) / args.iters
 
