@@ -91,18 +91,26 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
     if engine == "auto":
         import jax as _jax
 
-        from ..ops.pallas_megakernel import supports, supports_bvh
+        from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, supports,
+                                             supports_bvh)
 
         # TRIANGLE gradients never take the brute kernel on real TPUs: its
         # in-kernel vjp through the triangle-chunk matmuls crashes the
         # Mosaic compiler (SIGABRT) at ANY triangle count — measured on
         # v5e at 16/128/256/512/1024 tris, fused AND two-pass variants
         # (docs/performance.md; r2 only ever ran tri-grads in interpret
-        # mode).  Triangle fits use the BVH record-and-replay path, which
-        # compiles and runs at any size; sphere-only scenes (the proven
-        # envelope, bench.py's headline) keep the fused brute kernel.
+        # mode).  DEEP chains never take it either: the grad kernel always
+        # unrolls (jax.vjp cannot transpose while_loop) and the depth-50
+        # unrolled grad did not finish compiling in 10 min on v5e, while
+        # the record+replay fit of the same scene runs at 623K rays/s
+        # (scripts/exp_grad_envelope.py, r4).  Triangle and deep fits use
+        # the BVH record-and-replay path — hardware-validated at depth 50
+        # (monkey: 713K rays/s fwd+bwd) and at 28k tris (cool_cube: 1.93M);
+        # shallow sphere-only scenes (the proven fused envelope, bench.py's
+        # headline) keep the fused brute kernel.
         on_tpu = _jax.devices()[0].platform != "cpu"
-        fits = supports(scene) and len(scene.triangles) == 0
+        fits = (supports(scene) and len(scene.triangles) == 0
+                and scene.settings.max_ray_depth <= UNROLL_MAX_DEPTH)
         if not on_tpu:
             engine = "xla"
         elif fits:

@@ -73,8 +73,13 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     vol_perm = jnp.maximum(cb.vol_perm, 0) if vol_span else None
     tri_perm = jnp.maximum(cb.tri_perm, 0) if tri_span else None
 
+    # mix scenes shift the per-bounce uniform columns by MAX_MIX_DEPTH
+    # (ops/shade.py shade_uniforms) — the kernel consumed the same layout,
+    # and the level-0 coin re-resolves each recorded winner's mix here
+    n_shade = shade_ops.shade_uniforms(scene.materials)
     for b in range(max_depth):
-        u = rng.ray_uniforms(key, ray_ids, 1 + b, 4 + n_vol)
+        u = rng.ray_uniforms(key, ray_ids, 1 + b, n_shade + n_vol)
+        u_vol = u[:, n_shade:]
         code = rec[:, b]
         hit = alive & (code >= 0)
         is_sph = hit & (code < sph_span)
@@ -125,7 +130,7 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
             # _vol_chunk_hit; differentiable in center/radius/density
             ordinal = jnp.clip(vidx - scene.spheres.num_solid, 0,
                                max(n_vol - 1, 0))
-            uu = jnp.take_along_axis(u[:, 4:4 + max(n_vol, 1)],
+            uu = jnp.take_along_axis(u_vol[:, :max(n_vol, 1)],
                                      ordinal[:, None], axis=1)[:, 0]
             nid = scene.spheres.neg_inv_density[vidx]
             ray_len = jnp.sqrt(a)
@@ -171,11 +176,16 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         bg_rad = scene.background.sample(d)
         rad = rad + jnp.where(missed[:, None], thr * bg_rad, 0.0)
 
-        # front-face flip + branchless lobes (same uniforms as the kernel)
+        # front-face flip + branchless lobes (same uniforms as the kernel);
+        # recorded winners carry their RAW material id — single-level
+        # mixes re-resolve with the same level-0 coin the kernel blended
+        # with, so the replayed lobe is exactly the blended one
         front = vec.dot(d, n_out) < 0.0
         n = jnp.where(front[:, None], n_out, -n_out)
+        mid = shade_ops.resolve_mix(scene.materials, mid,
+                                    u[:, :n_shade])
         atten, new_dir, scatters = shade_ops.scatter(
-            scene.materials, mid, d, n, front, u, clay=clay)
+            scene.materials, mid, d, n, front, u[:, :n_shade], clay=clay)
 
         terminal = hit & ~scatters
         rad = rad + jnp.where(terminal[:, None], thr * atten, 0.0)

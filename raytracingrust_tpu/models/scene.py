@@ -235,13 +235,84 @@ class Scene:
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
-        SceneBuilder.from_scene_json(self.to_json()).save(path)
+        """Serialize the DEVICE scene back to the reference JSON schema.
+
+        Works for sphere/volume scenes — the reference itself panics on
+        mesh serialization (lib/core/mesh.rs:40-60), and the device SoA
+        keeps no mesh source paths, so triangle scenes raise here (keep
+        the SceneBuilder around for those: ``SceneBuilder.save``)."""
+        with open(path, "w") as f:
+            json.dump(self.to_json(), f)
 
     def to_json(self) -> dict:
-        raise NotImplementedError(
-            "device Scene is write-only; keep the SceneBuilder around for "
-            "serialization (meshes are flattened on device)"
-        )
+        """Device pytree -> reference-schema dict (round-trips through
+        ``load_scene``; tests/test_forward_parity.py::test_scene_save)."""
+        if len(self.triangles):
+            raise ValueError(
+                "mesh triangles are not JSON-serializable (the reference "
+                "panics too, lib/core/mesh.rs:40-60) — keep the "
+                "SceneBuilder for mesh scenes and use SceneBuilder.save")
+        mats = self.materials
+        kind = np.asarray(mats.kind)
+        albedo = np.asarray(mats.albedo)
+        fuzz = np.asarray(mats.fuzz)
+        ir = np.asarray(mats.ir)
+        emission = np.asarray(mats.emission)
+        m1 = np.asarray(mats.mix_first)
+        m2 = np.asarray(mats.mix_second)
+        mf = np.asarray(mats.mix_factor)
+
+        from .materials import (DIELECTRIC, EMISSION, ISOTROPIC, LAMBERTIAN,
+                                METAL, MIX, Dielectric, Emission, Isotropic,
+                                Lambertian, Metal, MixMaterial,
+                                material_to_json)
+
+        def mat(i: int):
+            k = int(kind[i])
+            if k == LAMBERTIAN:
+                return Lambertian(tuple(albedo[i]))
+            if k == METAL:
+                return Metal(tuple(albedo[i]), float(fuzz[i]))
+            if k == DIELECTRIC:
+                return Dielectric(float(ir[i]))
+            if k == EMISSION:
+                return Emission(tuple(emission[i]))
+            if k == ISOTROPIC:
+                return Isotropic(tuple(albedo[i]))
+            assert k == MIX
+            return MixMaterial(mat(int(m1[i])), mat(int(m2[i])),
+                               float(mf[i]))
+
+        # every table row serializes (mix children stay standalone rows
+        # too, so sphere material indices remain valid handles)
+        materials = [material_to_json(mat(i)) for i in range(len(kind))]
+
+        centers = np.asarray(self.spheres.center)
+        radii = np.asarray(self.spheres.radius)
+        smat = np.asarray(self.spheres.material)
+        nid = np.asarray(self.spheres.neg_inv_density)
+        objs = []
+        for i in range(len(radii)):
+            sphere = {
+                "type": "Sphere",
+                "center": {"x": float(centers[i, 0]),
+                           "y": float(centers[i, 1]),
+                           "z": float(centers[i, 2])},
+                "radius": float(radii[i]),
+                "material": int(smat[i]),
+            }
+            if nid[i] != 0.0:
+                objs.append({"type": "Volume", "boundary": sphere,
+                             "neg_inv_density": float(nid[i])})
+            else:
+                objs.append(sphere)
+        return {
+            "camera": self.camera.to_json(),
+            "settings": self.settings.to_json(),
+            "background": self.background.to_json(),
+            "objects": objs,
+            "materials": materials,
+        }
 
 
 class SceneBuilder:

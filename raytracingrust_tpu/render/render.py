@@ -141,29 +141,48 @@ TPU_MAX_BRUTE_TRIS = 1024
 
 
 def select_engine(scene: Scene, engine: str) -> str:
-    """Resolve "auto" -> the fastest applicable engine on this backend.
+    """Resolve "auto" -> the MEASURED-fastest applicable engine on this
+    backend (scripts/exp_dispatch.py, v5e steady-state):
 
-    Preference order: brute-force megakernel (fastest below its size
-    limits, differentiable) > packet-traversal BVH kernel (big scenes,
-    forward-only) > XLA wavefront (everything).  Explicit engine names pass
-    through.  "auto" picks a Pallas engine only on real TPUs — in interpret
-    mode on CPU the kernels are correctness tools, not fast paths.
+    * sphere-only scenes with a chain short enough to unroll ->  brute
+      megakernel (468M rays/s on benchmark.json — nothing else is close);
+    * ANY triangles, or a deep chain (> UNROLL_MAX_DEPTH) -> the
+      generation-scheduled packet-traversal BVH kernel.  Triangle configs
+      force the brute kernel onto its while_loop chain where it loses at
+      EVERY size measured (967 tris d50: 0.64M vs 7.78M = 12.2x; d6:
+      3.9M vs 7.8M; even 2 tris + 4 spheres: 14.9M vs 15.3M), and deep
+      sphere chains lose the unroll + gain generations (simple.json d50:
+      11.3M vs 15.3M);
+    * brute kernel as fallback for scenes the BVH kernel rejects (nested
+      mixes, no cbvh built) within its own measured-safe envelope;
+    * XLA wavefront for everything else.
+
+    Explicit engine names pass through.  "auto" picks a Pallas engine only
+    on real TPUs — in interpret mode on CPU the kernels are correctness
+    tools, not fast paths.
     """
     if engine != "auto":
         return engine
-    from ..ops.pallas_megakernel import supports_bvh, supports_fwd
+    from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, supports_bvh,
+                                         supports_fwd)
 
     if jax.devices()[0].platform == "cpu":
         return "xla"
-    if supports_fwd(scene) and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS:
+    brute_ok = (supports_fwd(scene)
+                and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS)
+    fast_chain = (len(scene.triangles) == 0
+                  and scene.settings.max_ray_depth <= UNROLL_MAX_DEPTH)
+    if brute_ok and fast_chain:
         return "pallas"
     if supports_bvh(scene):
         return "pallas_bvh"
-    # Scenes rejected by BOTH kernels (mix/volume scenes above the brute
-    # triangle cap, no cbvh built, ...) fall back to XLA: the brute kernel
-    # was MEASURED to OOM scoped VMEM at compile above TPU_MAX_BRUTE_TRIS,
-    # so auto never selects a configuration known to fail (explicit
-    # engine="pallas" still fails loudly at compile).
+    if brute_ok:
+        # e.g. no cbvh built, or nested-mix scenes (the BVH kernel admits
+        # only single-level mixes) below the brute caps; the brute kernel
+        # was MEASURED to OOM scoped VMEM at compile above
+        # TPU_MAX_BRUTE_TRIS, so auto never selects a configuration known
+        # to fail (explicit engine="pallas" still fails loudly at compile)
+        return "pallas"
     return "xla"
 
 

@@ -41,14 +41,19 @@ def emit(name, seconds, extra=None):
     print(json.dumps(rec), flush=True)
 
 
-def time_best(fn, iters=3):
-    fn()  # warm-up / compile
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        fn()
-        best = min(best, time.perf_counter() - t0)
-    return best
+def time_best(fn, iters=3, warmup=2):
+    """Steady-state average: compile + ``warmup`` dispatches first (the
+    first dispatches after a compile pay ~20 ms of one-time tunnel/queue
+    latency — docs/performance.md round-4 reconciliation), then the mean
+    of ``iters`` timed calls.  ``fn(i)`` must vary its dispatch with ``i``
+    (e.g. the seed) or the tunnel dedups and reports fake times."""
+    fn(0)  # warm-up / compile
+    for i in range(warmup):
+        fn(1 + i)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        fn(100 + i)
+    return (time.perf_counter() - t0) / iters
 
 
 def sphere_grid(nx, ny, nz):
@@ -94,7 +99,8 @@ def main():
         b = SceneBuilder.from_file(os.path.join(REF, "scenes", "simple.json"))
         scene = b.build()
         dt = time_best(
-            lambda: render_linear(scene, 100, 100, seed=0).block_until_ready(),
+            lambda i: render_linear(scene, 100, 100,
+                                    seed=i).block_until_ready(),
             args.iters,
         )
         emit("simple_render_100x100", dt, {
@@ -104,13 +110,13 @@ def main():
     if "bvh_build_8k" not in args.skip:
         spheres = sphere_grid(20, 20, 20).build(with_bvh=False).spheres
         tris = SceneBuilder().build(with_bvh=False).triangles
-        dt = time_best(lambda: build_bvh(spheres, tris), args.iters)
+        dt = time_best(lambda i: build_bvh(spheres, tris), args.iters)
         emit("bvh_build_8000", dt)
 
     if "bvh_build_30k" not in args.skip:
         spheres = sphere_grid(10, 55, 55).build(with_bvh=False).spheres
         tris = SceneBuilder().build(with_bvh=False).triangles
-        dt = time_best(lambda: build_bvh(spheres, tris), args.iters)
+        dt = time_best(lambda i: build_bvh(spheres, tris), args.iters)
         emit("bvh_build_30250", dt)
 
     # --- mesh render: monkey.obj 40x40 spp10 depth50 (benches/mesh.rs)
@@ -125,7 +131,8 @@ def main():
             os.path.join(REF, "assets", "monkey.obj"), m))
         scene = b.build(with_bvh=True)
         dt = time_best(
-            lambda: render_linear(scene, 40, 40, seed=0).block_until_ready(),
+            lambda i: render_linear(scene, 40, 40,
+                                    seed=i).block_until_ready(),
             args.iters,
         )
         emit("mesh_render_monkey_40x40", dt, {
@@ -133,14 +140,13 @@ def main():
 
     # --- BVH-path renders, per engine (VERDICT r1 item 7: publish render
     # throughput for scenes the brute-force kernel cannot take)
-    def engine_rows(name, scene, w, h, engines=("pallas_bvh", "xla")):
+    def engine_rows(name, scene, w, h,
+                    engines=("auto", "pallas_bvh", "xla")):
         spp = scene.settings.samples_per_pixel
         for eng in engines:
-            # vary the seed so the axon tunnel cannot dedup dispatches
-            seeds = iter(range(1000))
-
-            def go(eng=eng):
-                render_linear(scene, w, h, seed=next(seeds),
+            def go(i, eng=eng):
+                # vary the seed so the axon tunnel cannot dedup dispatches
+                render_linear(scene, w, h, seed=i,
                               engine=eng).block_until_ready()
             try:
                 dt = time_best(go, args.iters)

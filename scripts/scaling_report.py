@@ -91,7 +91,52 @@ def main():
     ))
     t_shard = measure(lambda k: sharded(scene_r, ids_r, k), keys, 5)
 
+    # ---- fwd+bwd: the NORTH-STAR metric, sharded vs plain (r4, VERDICT
+    # r3 #6).  The sharded fit shards pixels over the mesh; parameters are
+    # replicated, so jax.grad of the shard_map'ed loss inserts the
+    # gradient psum over the ray axis — the collective a real N-chip fit
+    # pays.  On a 1-device mesh the ratio bounds the per-chip cost of the
+    # sharded machinery INCLUDING that psum.
+    from raytracingrust_tpu.diff.grad import apply_params, extract_params
+
+    names = ("albedo", "fuzz", "ir", "emission", "cam_lookfrom",
+             "bg_color_a")
+    params = extract_params(scene, names)
+    param_variants = [jax.tree.map(lambda x: x + 1e-7 * i, params)
+                      for i in range(8)]
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    def plain_loss(p, key):
+        s = apply_params(scene, p)
+        img = radiance_fn(s, pixel_ids, key)
+        return jnp.mean((img - target) ** 2)
+
+    plain_grad = jax.jit(lambda p: jax.grad(plain_loss)(p, keys[0]))
+    t_plain_g = measure(plain_grad, param_variants, 5)
+
+    target_r = jax.device_put(np.zeros((w * h, 3), np.float32), sharding)
+
+    def sharded_loss(p, key):
+        s = apply_params(scene_r, p)
+
+        def shard_fn(s, ids, tgt, key):
+            img = radiance_fn(s, ids, key)
+            # local SSE; psum -> the global mean's numerator (params are
+            # replicated, so grad-of-psum adds the gradient all-reduce)
+            return jax.lax.psum(jnp.sum((img - tgt) ** 2), "rays")
+
+        sse = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P("rays"), P("rays"), P()),
+            out_specs=P(), check_vma=False,
+        )(s, ids_r, target_r, key)
+        return sse / (3.0 * w * h)
+
+    sharded_grad = jax.jit(lambda p: jax.grad(sharded_loss)(p, keys[0]))
+    t_shard_g = measure(sharded_grad, param_variants, 5)
+
     ratio = t_plain / t_shard
+    ratio_g = t_plain_g / t_shard_g
     report = {
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
@@ -102,10 +147,21 @@ def main():
         "rays_per_s_plain": round(n_rays / t_plain, 0),
         "rays_per_s_sharded_1dev": round(n_rays / t_shard, 0),
         "sharding_layer_efficiency": round(ratio, 4),
+        "fwd_bwd_plain_ms": round(t_plain_g * 1e3, 2),
+        "fwd_bwd_sharded_1dev_ms": round(t_shard_g * 1e3, 2),
+        "fwd_bwd_rays_per_s_plain": round(n_rays / t_plain_g, 0),
+        "fwd_bwd_rays_per_s_sharded_1dev": round(n_rays / t_shard_g, 0),
+        "fwd_bwd_sharding_layer_efficiency": round(ratio_g, 4),
         "note": (
             "forward render is embarrassingly parallel over disjoint pixel "
             "tiles (zero cross-shard collectives); projected N-chip "
-            "efficiency = this ratio, well above the 0.85 target"
+            "efficiency = this ratio, well above the 0.85 target.  The "
+            "fwd_bwd rows run the generic two-pass custom_vjp fit (fwd "
+            "kernel + fused replay+vjp backward) with the REPLICATED-param "
+            "gradient psum over the ray axis inside grad-of-shard_map — "
+            "the collective a real N-chip fit pays (the fused-MSE "
+            "single-kernel path is the 1-chip bench.py headline; it is "
+            "not shard_map-wrapped)"
         ),
     }
     out = os.path.join(os.path.dirname(__file__), "..",

@@ -1,0 +1,145 @@
+"""Engine auto-dispatch policy tests (VERDICT r3 #1/#3).
+
+The policy constants come from v5e measurements (scripts/exp_dispatch.py;
+docs/performance.md "Engine dispatch policy").  Tests mock a TPU platform
+(CPU always resolves to "xla") and assert the MEASURED winner is chosen
+for each reference bench shape — most importantly that the depth-50 mesh
+bench (benches/mesh.rs:9-22) gets the generation-scheduled BVH kernel,
+which r3's dispatch missed.
+"""
+
+import numpy as np
+import pytest
+
+from raytracingrust_tpu import (Camera, Lambertian, Mesh, Metal,
+                                MixMaterial, RenderSettings, SceneBuilder)
+from raytracingrust_tpu.render import render as render_mod
+
+
+class _FakeTpu:
+    platform = "tpu"
+
+
+@pytest.fixture()
+def on_tpu(monkeypatch):
+    monkeypatch.setattr(render_mod.jax, "devices", lambda: [_FakeTpu()])
+
+
+def sphere_scene(n=5, depth=6, with_bvh=True):
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=depth)
+    m = b.add_material(Lambertian((0.5, 0.5, 0.5)))
+    for i in range(n):
+        b.add_sphere((float(i), 0, -2), 0.4, m)
+    return b.build(with_bvh=with_bvh)
+
+
+def tri_scene(depth=6):
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 3), (0, 0, 0), (0, 1, 0), 40.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=depth)
+    m = b.add_material(Lambertian((0.7, 0.7, 0.7)))
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]],
+                   np.float32)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    b.add_mesh(Mesh.from_buffers(pos, np.zeros_like(pos), faces, m))
+    return b.build(with_bvh=True)
+
+
+def test_cpu_always_xla():
+    assert render_mod.select_engine(sphere_scene(), "auto") == "xla"
+
+
+def test_explicit_engine_passes_through(on_tpu):
+    assert render_mod.select_engine(sphere_scene(), "xla") == "xla"
+    assert render_mod.select_engine(sphere_scene(), "pallas") == "pallas"
+
+
+def test_shallow_sphere_scene_takes_brute(on_tpu):
+    # benchmark.json / simple.json shape: the 468M rays/s unrolled path
+    assert render_mod.select_engine(sphere_scene(depth=6), "auto") \
+        == "pallas"
+
+
+def test_triangle_scene_takes_bvh_kernel(on_tpu):
+    # measured: the BVH kernel beats the brute kernel at EVERY triangle
+    # count (967 tris d6: 7.8M vs 3.9M; even 2 tris: 15.3M vs 14.9M)
+    assert render_mod.select_engine(tri_scene(depth=6), "auto") \
+        == "pallas_bvh"
+
+
+def test_mesh_bench_shape_takes_bvh_kernel(on_tpu):
+    # THE round-3 miss: monkey.obj depth 50 (benches/mesh.rs) ran on the
+    # brute kernel with no compaction — 0.64M vs 7.78M rays/s (12.2x)
+    assert render_mod.select_engine(tri_scene(depth=50), "auto") \
+        == "pallas_bvh"
+
+
+def test_deep_sphere_scene_takes_bvh_kernel(on_tpu):
+    # simple.json at depth 50: 11.3M (brute while_loop) vs 15.3M (bvh+gens)
+    assert render_mod.select_engine(sphere_scene(depth=50), "auto") \
+        == "pallas_bvh"
+
+
+def test_deep_scene_without_cbvh_falls_back_to_brute(on_tpu):
+    # no chunk tree built -> the BVH kernel is unavailable; the brute
+    # kernel (while_loop chain) still beats XLA
+    assert render_mod.select_engine(
+        sphere_scene(depth=50, with_bvh=False), "auto") == "pallas"
+
+
+def test_env_is_scene_never_gets_a_kernel(on_tpu):
+    # VERDICT r3 missing #2: the MIS/NEE env estimator exists only in the
+    # XLA integrator; a kernel engine would silently run the naive
+    # estimator instead of the user's requested variance reduction
+    import dataclasses
+
+    from raytracingrust_tpu.models.backgrounds import Background
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=6,
+                                env_importance_sampling=True)
+    m = b.add_material(Lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0, -2), 0.5, m)
+    b.background = Background.skymap_from_array(
+        np.ones((8, 16, 3), np.float32))
+    scene = b.build(with_bvh=True)
+    assert render_mod.select_engine(scene, "auto") == "xla"
+
+    from raytracingrust_tpu.diff.grad import make_loss
+    from raytracingrust_tpu.ops.pallas_megakernel import (
+        pixel_radiance_pallas, pixel_radiance_pallas_bvh, supports,
+        supports_bvh)
+
+    assert not supports(scene) and not supports_bvh(scene)
+    # explicit kernel calls fail LOUDLY, never silently drop the estimator
+    import jax.numpy as jnp
+
+    from raytracingrust_tpu.utils import rng
+    ip = rng.base_key(0).astype(jnp.int32)
+    pix = jnp.arange(4, dtype=jnp.int32)
+    with pytest.raises(ValueError, match="env_importance_sampling"):
+        pixel_radiance_pallas(scene, pix, 2, 2, ip, interpret=True)
+    with pytest.raises(ValueError, match="env_importance_sampling"):
+        pixel_radiance_pallas_bvh(scene, pix, 2, 2, ip, interpret=True)
+
+    # the SAME scene without the flag still kernels (the gate is the
+    # estimator, not the skymap)
+    plain = dataclasses.replace(
+        scene, settings=dataclasses.replace(
+            scene.settings, env_importance_sampling=False))
+    assert render_mod.select_engine(plain, "auto") == "pallas"
+
+
+def test_mix_scene_keeps_brute_kernel(on_tpu):
+    # the packet kernel rejects mixes; brute covers single-level mixes
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 0), (0, 0, -1), (0, 1, 0), 90.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=6)
+    m = b.add_material(MixMaterial(
+        Lambertian((0.5, 0.5, 0.5)), Metal((0.9, 0.9, 0.9), 0.1), 0.5))
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(with_bvh=True)
+    assert render_mod.select_engine(scene, "auto") == "pallas"
