@@ -51,6 +51,7 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     vol_span = cb.n_vol_chunks * lf
     tri_span = cb.n_tri_chunks * lf
     n_vol = scene.spheres.num_volumes
+    n_mv = scene.num_mesh_volumes
     settings = scene.settings
     clay = settings.mode == MODE_CLAY
     max_depth = settings.max_ray_depth
@@ -78,13 +79,24 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     # and the level-0 coin re-resolves each recorded winner's mix here
     n_shade = shade_ops.shade_uniforms(scene.materials)
     for b in range(max_depth):
-        u = rng.ray_uniforms(key, ray_ids, 1 + b, n_shade + n_vol)
+        u = rng.ray_uniforms(key, ray_ids, 1 + b, n_shade + n_vol + n_mv)
         u_vol = u[:, n_shade:]
-        code = rec[:, b]
-        hit = alive & (code >= 0)
+        raw = rec[:, b]
+        hit = alive & (raw >= 0)
+        # bits 0-26: winner slot; 27-29: the primal's recorded DISCRETE
+        # shading decisions (front / metal_ok / dielectric_reflect) — the
+        # replay takes exactly the kernel's branches instead of
+        # recomputing ulp-sensitive comparisons (exact replay, r4)
+        code = raw & ((1 << 27) - 1)
+        code = jnp.where(hit, code, raw)  # misses keep -1
+        front_rec = (raw >> 27) & 1
+        m_ok_rec = ((raw >> 28) & 1).astype(bool)
+        refl_rec = ((raw >> 29) & 1).astype(bool)
         is_sph = hit & (code < sph_span)
         is_vol = hit & (code >= sph_span) & (code < sph_span + vol_span)
-        is_tri = hit & (code >= sph_span + vol_span)
+        mv_base = sph_span + vol_span + tri_span
+        is_tri = hit & (code >= sph_span + vol_span) & (code < mv_base)
+        is_mv = hit & (code >= mv_base)
 
         a = vec.length_squared(d)
         t_hit = jnp.ones(code.shape, jnp.float32)
@@ -154,6 +166,21 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
             t_t = f * vec.dot(e2, q)
             t_hit = jnp.where(is_tri, t_t, t_hit)
             mid = jnp.where(is_tri, tris.material[tidx], mid)
+        if n_mv:
+            # mesh-bounded volume winners: recompute the recorded
+            # volume's free-flight t with the SAME uniform column the
+            # kernel consumed — differentiable in density and boundary
+            # vertices (ops/intersect.py mesh_volume_ts)
+            from ..ops.intersect import mesh_volume_ts
+
+            t_mv = mesh_volume_ts(scene, o, d, u_vol[:, n_vol:],
+                                  T_MIN, jnp.inf)       # (R, V)
+            vsel = jnp.clip(code - mv_base, 0, n_mv - 1)
+            t_hit = jnp.where(
+                is_mv, jnp.take_along_axis(t_mv, vsel[:, None],
+                                           axis=1)[:, 0], t_hit)
+            mid = jnp.where(is_mv, scene.mesh_volumes.material[vsel],
+                            mid)
 
         t_safe = jnp.where(hit, t_hit, 1.0)
         point = o + t_safe[:, None] * d
@@ -165,6 +192,10 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         if vol_span:
             # volume dummy normal (1, 0, 0) (lib/volume.rs:66-72)
             n_out = jnp.where(is_vol[:, None],
+                              jnp.array([1.0, 0.0, 0.0], jnp.float32),
+                              n_out)
+        if n_mv:
+            n_out = jnp.where(is_mv[:, None],
                               jnp.array([1.0, 0.0, 0.0], jnp.float32),
                               n_out)
         if tri_span:
@@ -179,13 +210,16 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         # front-face flip + branchless lobes (same uniforms as the kernel);
         # recorded winners carry their RAW material id — single-level
         # mixes re-resolve with the same level-0 coin the kernel blended
-        # with, so the replayed lobe is exactly the blended one
-        front = vec.dot(d, n_out) < 0.0
+        # with, so the replayed lobe is exactly the blended one.  The
+        # front flag and the metal/dielectric branch choices come FROM THE
+        # RECORD (the kernel's own decisions), not from recomparison.
+        front = jnp.where(hit, front_rec == 1, vec.dot(d, n_out) < 0.0)
         n = jnp.where(front[:, None], n_out, -n_out)
         mid = shade_ops.resolve_mix(scene.materials, mid,
                                     u[:, :n_shade])
         atten, new_dir, scatters = shade_ops.scatter(
-            scene.materials, mid, d, n, front, u[:, :n_shade], clay=clay)
+            scene.materials, mid, d, n, front, u[:, :n_shade], clay=clay,
+            forced={"metal_ok": m_ok_rec, "dielectric_reflect": refl_rec})
 
         terminal = hit & ~scatters
         rad = rad + jnp.where(terminal[:, None], thr * atten, 0.0)

@@ -193,6 +193,16 @@ class ChunkedBVH:
     vol_nodes_f: jnp.ndarray = None  # (K_v * 6,) f32
     vol_nodes_i: jnp.ndarray = None  # (K_v * 3,) i32
     vol_perm: jnp.ndarray = None     # (n_vol_chunks * leaf_size,) i32
+    # MESH-bounded volumes (lib/volume.rs:25-31 with a Mesh boundary): the
+    # kernel needs each volume's boundary triangles DENSE (entry crossings
+    # may sit at negative t — rays inside the medium look backwards — so
+    # tree traversal with its t>=T_MIN slab floor cannot find them).
+    # ``mv_perm`` concatenates per-volume global tri ids, each volume
+    # padded to a chunk multiple; ``mv_spans`` = ((chunk_start, n_chunks),
+    # ...) per volume, static.  The surface tri tree EXCLUDES these
+    # triangles (they never shade as surfaces).
+    mv_perm: jnp.ndarray = None      # (n_mv_chunks * leaf_size,) i32
+    mv_spans: tuple = static_field(default=())
     leaf_size: int = static_field(default=128)
     sph_nodes: int = static_field(default=0)
     tri_nodes: int = static_field(default=0)
@@ -211,6 +221,12 @@ class ChunkedBVH:
         if self.vol_perm is None:
             return 0
         return self.vol_perm.shape[0] // self.leaf_size
+
+    @property
+    def n_mv_chunks(self) -> int:
+        if self.mv_perm is None:
+            return 0
+        return self.mv_perm.shape[0] // self.leaf_size
 
 
 @pytree_dataclass

@@ -229,7 +229,37 @@ def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
 
     sph = one(smin[:n_solid], smax[:n_solid], 0)
     vol = one(smin[n_solid:ns], smax[n_solid:ns], n_solid)
-    tri = one(smin[ns:], smax[ns:], 0)
+
+    # the surface tri tree excludes MESH-VOLUME boundary triangles (they
+    # never shade as surfaces; the kernel intersects them with a dense
+    # two-pass crossing scan instead — ChunkedBVH.mv_* docstring)
+    tri_vol = np.asarray(triangles.volume) if len(triangles) else \
+        np.zeros((0,), np.int32)
+    surf_ids = np.nonzero(tri_vol < 0)[0]
+    tri = None
+    if surf_ids.shape[0]:
+        nf, ni, perm = _build_chunked_topology(
+            smin[ns:][surf_ids], smax[ns:][surf_ids], leaf_size)
+        pad = perm < 0
+        perm = surf_ids[np.maximum(perm, 0)]
+        perm[pad] = -1
+        tri = nf, ni, perm
+
+    # per-mesh-volume dense chunk permutations (global tri ids, each
+    # volume padded to a chunk multiple) + static (start, count) spans
+    n_mv = int(tri_vol.max()) + 1 if tri_vol.size and tri_vol.max() >= 0 \
+        else 0
+    mv_parts, mv_spans, start = [], [], 0
+    for v in range(n_mv):
+        ids = np.nonzero(tri_vol == v)[0].astype(np.int64)
+        nc = -(-ids.shape[0] // leaf_size)
+        padded = np.full((nc * leaf_size,), -1, np.int64)
+        padded[:ids.shape[0]] = ids
+        mv_parts.append(padded)
+        mv_spans.append((start, nc))
+        start += nc
+    mv_perm = (np.concatenate(mv_parts) if mv_parts
+               else np.zeros((0,), np.int64))
 
     empty_f = np.zeros((0, 6), np.float32)
     empty_i = np.zeros((0, 3), np.int32)
@@ -248,6 +278,8 @@ def build_chunked_bvh(spheres, triangles, leaf_size: int = 128):
         vol_nodes_f=jnp.asarray(v_nf.reshape(-1)),
         vol_nodes_i=jnp.asarray(v_ni.reshape(-1)),
         vol_perm=jnp.asarray(v_perm, jnp.int32),
+        mv_perm=jnp.asarray(mv_perm, jnp.int32),
+        mv_spans=tuple(mv_spans),
         leaf_size=leaf_size,
         sph_nodes=int(s_nf.shape[0]),
         tri_nodes=int(t_nf.shape[0]),

@@ -476,6 +476,20 @@ _TG_E2 = 6      # rows 6-8
 # count is capped to bound registers/uniform columns.
 MAX_BVH_VOLUMES = 8
 
+# MESH-bounded volumes (r4): per volume, a dense two-pass crossing scan
+# over its boundary-triangle chunks (entry at ANY t — possibly negative,
+# the ray origin may be inside the medium — then exit >= entry + T_MIN),
+# followed by the exponential free flight.  Dense because tree traversal
+# cannot find negative-t crossings (its slab floor is T_MIN).  The scan is
+# a fori_loop per volume per pass, so the count stays capped.
+MAX_BVH_MESH_VOLUMES = 4
+# fparams tail for the BVH kernel (after the 20-slot head): per mesh
+# volume [nid, al rgb, fuzz, ir, em rgb, lam, met, die, emi] — the
+# delegated material's values + kind one-hots (Isotropic = the complement,
+# as in the _BS_ rows)
+_MV = 20
+_MV_STRIDE = 13
+
 
 def supports_bvh(scene: Scene) -> bool:
     """Static capability gate for the packet-traversal kernel (scenes
@@ -490,7 +504,13 @@ def supports_bvh(scene: Scene) -> bool:
         and len(scene.spheres) <= MAX_BVH_SPHERES
         and len(scene.triangles) <= MAX_BVH_TRIS
         and scene.spheres.num_volumes <= MAX_BVH_VOLUMES
-        and scene.num_mesh_volumes == 0  # XLA-only (whole-mesh crossings)
+        # mesh-bounded volumes (r4): dense crossing scan over mv chunks;
+        # needs the mv permutation (cbvh objects built before r4 lack it)
+        # and stays out of the mix matrix for now
+        and scene.num_mesh_volumes <= MAX_BVH_MESH_VOLUMES
+        and (scene.num_mesh_volumes == 0
+             or (len(cb.mv_spans) == scene.num_mesh_volumes
+                 and not scene.materials.has_mix))
         # volume scenes need the third (volume-sphere) chunk tree — cbvh
         # objects built before round 3 lack it
         and (scene.spheres.num_volumes == 0 or cb.n_vol_chunks > 0)
@@ -730,6 +750,30 @@ def _pack_tri_chunks(scene: Scene, perm):
     return _chunk_rows(g_mat, lf), _chunk_rows(s_mat, lf)
 
 
+def _pack_mv_chunks(scene: Scene, perm):
+    """Permuted MESH-VOLUME boundary triangles -> g (n_chunks*16, 128)
+    geometry rows (_TG_ layout).  Shading/material constants ride fparams
+    instead (one record per volume, _MV layout) — a crossing scan needs
+    only geometry.  Padding lanes are all-zero -> determinant == 0 ->
+    rejected."""
+    lf = BVH_LEAF
+    perm = jnp.asarray(perm)
+    idx = jnp.maximum(perm, 0)
+    pad = perm < 0
+    tris = scene.triangles
+    v0 = tris.v0[idx]
+    e1 = tris.e1[idx]
+    e2 = tris.e2[idx]
+    n = idx.shape[0]
+    g_mat = _stack16(n, {
+        _TG_V0 + 0: v0[:, 0], _TG_V0 + 1: v0[:, 1], _TG_V0 + 2: v0[:, 2],
+        _TG_E1 + 0: e1[:, 0], _TG_E1 + 1: e1[:, 1], _TG_E1 + 2: e1[:, 2],
+        _TG_E2 + 0: e2[:, 0], _TG_E2 + 1: e2[:, 1], _TG_E2 + 2: e2[:, 2],
+    })
+    g_mat = jnp.where(pad[None, :], 0.0, g_mat)
+    return _chunk_rows(g_mat, lf)
+
+
 def _to_sublanes(m):
     """(16, 128) -> (128, 16) via an identity matmul — per-primitive
     constants move from lanes to sublanes so they broadcast against
@@ -901,6 +945,58 @@ def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win,
                              code, code_rows)
 
 
+def _mv_min_t(g_ref, c0, nc, o3, d3, floor_rows):
+    """Mesh-volume crossing scan: min over chunks [c0, c0+nc) of raw
+    Moller-Trumbore t >= ``floor_rows`` (per-ray (8, cols) lower bound —
+    -inf rows for the ENTRY pass, t1 + T_MIN for the EXIT pass), else
+    +inf.  No t_best pruning and no T_MIN floor: boundary crossings exist
+    at ANY t (lib/volume.rs boundary.hit over (-inf, inf) — the ray
+    origin may be inside the medium)."""
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+
+    def body(c, best):
+        base = pl.multiple_of((c0 + c) * 16, 16)
+        g_m = g_ref[pl.ds(base, 16), :]
+        g = _to_sublanes(g_m)
+
+        def col(j):
+            return g[:, j:j + 1]
+
+        v0x, v0y, v0z = col(_TG_V0), col(_TG_V0 + 1), col(_TG_V0 + 2)
+        e1x, e1y, e1z = col(_TG_E1), col(_TG_E1 + 1), col(_TG_E1 + 2)
+        e2x, e2y, e2z = col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2)
+        rows = []
+        for r in range(best.shape[0]):
+            def row(v, r=r):
+                return v[r:r + 1, :]
+            dxr, dyr, dzr = row(dx), row(dy), row(dz)
+            hx = dyr * e2z - dzr * e2y
+            hy = dzr * e2x - dxr * e2z
+            hz = dxr * e2y - dyr * e2x
+            a_ = e1x * hx + e1y * hy + e1z * hz
+            ok = jnp.abs(a_) > TRI_DET_EPS
+            fq = 1.0 / jnp.where(ok, a_, 1.0)
+            sx = row(ox) - v0x
+            sy = row(oy) - v0y
+            sz = row(oz) - v0z
+            u = fq * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = fq * (dxr * qx + dyr * qy + dzr * qz)
+            tt = fq * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                     & (u + v <= 1.0) & (tt >= row(floor_rows)))
+            ti = jnp.where(valid, tt, jnp.inf)
+            rows.append(jnp.minimum(
+                row(best), jnp.min(ti, axis=0, keepdims=True)))
+        return jnp.concatenate(rows, axis=0)
+
+    init = jnp.full(floor_rows.shape, jnp.inf, jnp.float32)
+    return jax.lax.fori_loop(0, nc, body, init)
+
+
 def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
                    ox, oy, oz, inv_dx, inv_dy, inv_dz, alive,
                    t_best, par, win, code=None):
@@ -975,7 +1071,7 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
                    tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0,
-                   record_ref=None, gens=1):
+                   n_mv=0, record_ref=None, gens=1):
     """The megakernel's radiance computation as a PURE function.
 
     ``f(i)`` is a scalar getter over the packed float-param layout (SMEM
@@ -1086,10 +1182,15 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    is_lam, is_met, is_die, is_emi, is_iso,
                    alive, u1, u2, u_coin, u_r,
                    ox, oy, oz, dx, dy, dz,
-                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, miss):
+                   thr_r, thr_g, thr_b, rad_r, rad_g, rad_b, miss,
+                   rec_bits_write=None):
             """Shared bounce tail: background on miss, front-face flip,
             material lobes, throughput/radiance update -> next state.
-            ``miss``: () or the 6 skymap miss-record registers."""
+            ``miss``: () or the 6 skymap miss-record registers.
+            ``rec_bits_write``: record mode — called with the bounce's
+            discrete-decision bits (front<<27 | metal_ok<<28 |
+            dielectric_reflect<<29) so the replay can take EXACTLY the
+            primal's branches (diff/replay.py exact replay)."""
             missed = alive & ~hit
             if skymap:
                 # record the escape (a path misses at most once); the
@@ -1134,6 +1235,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     jnp.where(deg, nz, ldz),
                 )
 
+            rec_m_ok = rec_refl = None
             if clay:
                 at_r = at_g = at_b = zero + 0.8
                 ndx, ndy, ndz = lambert_dir()
@@ -1164,6 +1266,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     mdy = rfy * inv_len + fuzz * sy
                     mdz = rfz * inv_len + fuzz * sz
                     m_ok = _dot3(mdx, mdy, mdz, nx, ny, nz) > 0.0
+                    rec_m_ok = m_ok
                     at_r = jnp.where(is_met, jnp.where(m_ok, al_r, 0.0), at_r)
                     at_g = jnp.where(is_met, jnp.where(m_ok, al_g, 0.0), at_g)
                     at_b = jnp.where(is_met, jnp.where(m_ok, al_b, 0.0), at_b)
@@ -1187,6 +1290,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     omc2 = omc * omc
                     schl = r0 + (1.0 - r0) * omc2 * omc2 * omc
                     refl = (ratio * sin_t > 1.0) | (schl > u_coin)
+                    rec_refl = refl
                     udn = _dot3(udx, udy, udz, nx, ny, nz)
                     rx = udx - 2.0 * udn * nx
                     ry = udy - 2.0 * udn * ny
@@ -1228,6 +1332,14 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                     ndy = jnp.where(is_iso, sy * crt, ndy)
                     ndz = jnp.where(is_iso, sz * crt, ndz)
 
+            if rec_bits_write is not None:
+                bits = front.astype(jnp.int32) * (1 << 27)
+                if rec_m_ok is not None:
+                    bits += rec_m_ok.astype(jnp.int32) * (1 << 28)
+                if rec_refl is not None:
+                    bits += rec_refl.astype(jnp.int32) * (1 << 29)
+                rec_bits_write(bits)
+
             terminal = alive & hit & ~scatters
             rad_r = rad_r + jnp.where(terminal, thr_r * at_r, 0.0)
             rad_g = rad_g + jnp.where(terminal, thr_g * at_g, 0.0)
@@ -1268,7 +1380,8 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             # Volume scenes draw one extra column per volume object (the
             # free-flight uniform; XLA: u_vol = u[:, n_shade:]).
             off = M.MAX_MIX_DEPTH if mix else 0
-            n_u = off + ((4 if iso else 3) if n_vol == 0 else 4 + n_vol)
+            n_u = off + ((4 if iso else 3) if n_vol + n_mv == 0
+                         else 4 + n_vol + n_mv)
             us = _stream_uniforms(k0, k1, ray_u32, 1 + b, n_u)
             u_mix = us[0] if mix else None
             u1, u2, u_coin = us[off], us[off + 1], us[off + 2]
@@ -1290,7 +1403,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 win = zero
                 code = (jnp.full(dx.shape, -1, jnp.int32) if record
                         else None)
-                sph_span = vol_span = 0
+                sph_span = vol_span = tri_span = 0
                 if bvh.get("sph") is not None:
                     nf, ni, k_n, s_ref, *s2 = bvh["sph"]
                     s2_ref = s2[0] if s2 else None
@@ -1334,6 +1447,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                 if bvh.get("tri") is not None:
                     nf, ni, k_n, g_ref, s_ref, *s2 = bvh["tri"]
                     s2_ref = s2[0] if s2 else None
+                    tri_span = (g_ref.shape[0] // 16) * BVH_LEAF
 
                     def tri_leaf(chunk, tb, pr, wn, *cd, g_ref=g_ref,
                                  s_ref=s_ref, base=sph_span + vol_span,
@@ -1349,11 +1463,62 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                         code=code)
                     (t_best, par, win), code = res[:3], (res[3] if record
                                                          else None)
+                if bvh.get("mv") is not None:
+                    # mesh-bounded volumes: dense two-pass crossing scan
+                    # per volume (entry at ANY t, exit >= entry + T_MIN)
+                    # + exponential free flight — lib/volume.rs:35-73
+                    # with a Mesh boundary; arithmetic mirrors
+                    # ops/intersect.py mesh_volume_ts
+                    mv_g_ref, mv_spans = bvh["mv"]
+                    ray_len_mv = jnp.sqrt(a)
+                    ninf = jnp.full(dx.shape, -jnp.inf, jnp.float32)
+                    mv_base = sph_span + vol_span + tri_span
+                    for v, (c0, nc) in enumerate(mv_spans):
+                        u_v = us[off + 4 + n_vol + v]
+                        t1 = _mv_min_t(mv_g_ref, c0, nc, o3, d3, ninf)
+                        t2 = _mv_min_t(mv_g_ref, c0, nc, o3, d3,
+                                       t1 + T_MIN)
+                        h1 = jnp.maximum(t1, T_MIN)
+                        valid = ((t1 < jnp.inf) & (t2 < jnp.inf)
+                                 & (h1 < t2))
+                        h1 = jnp.maximum(h1, 0.0)
+                        dist_inside = (t2 - h1) * ray_len_mv
+                        fb = _MV + v * _MV_STRIDE
+                        nid = f(fb + 0)
+                        hit_dist = nid * jnp.log(jnp.maximum(u_v, 1e-37))
+                        ti = h1 + hit_dist / ray_len_mv
+                        won = (valid & (hit_dist <= dist_inside)
+                               & (ti < t_best))
+                        t_best = jnp.where(won, ti, t_best)
+                        vals = {
+                            _BS_RAD: 1.0,
+                            _BS_AL + 0: f(fb + 1), _BS_AL + 1: f(fb + 2),
+                            _BS_AL + 2: f(fb + 3),
+                            _BS_FUZZ: f(fb + 4), _BS_IR: f(fb + 5),
+                            _BS_EM + 0: f(fb + 6), _BS_EM + 1: f(fb + 7),
+                            _BS_EM + 2: f(fb + 8),
+                            _BS_LAM: f(fb + 9), _BS_MET: f(fb + 10),
+                            _BS_DIE: f(fb + 11), _BS_EMI: f(fb + 12),
+                        }
+                        par = tuple(
+                            jnp.where(won, zero + vals[j], par[j])
+                            if j in vals else par[j]
+                            for j in range(16))
+                        win = jnp.where(won, 2.0, win)
+                        if record:
+                            code = jnp.where(won, mv_base + v, code)
                 hit = t_best < jnp.inf
+                rec_bits_write = None
                 if record:
-                    off = pl.multiple_of(b * BLOCK_ROWS, BLOCK_ROWS)
-                    record_ref[pl.ds(off, BLOCK_ROWS), :] = (
-                        jnp.where(hit, code, -1))
+                    # deferred to the shade stage: the record packs the
+                    # winner slot (bits 0-26) WITH the bounce's discrete
+                    # shading decisions (front<<27, metal_ok<<28,
+                    # dielectric_reflect<<29) so the replay is EXACT —
+                    # code and bits occupy disjoint bits, + is |
+                    def rec_bits_write(bits, code=code, hit=hit, b=b):
+                        roff = pl.multiple_of(b * BLOCK_ROWS, BLOCK_ROWS)
+                        record_ref[pl.ds(roff, BLOCK_ROWS), :] = (
+                            jnp.where(hit, code + bits, -1))
 
                 safe_t = jnp.where(hit, t_best, 1.0)
                 ptx = ox + safe_t * dx
@@ -1400,7 +1565,7 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                               alive, u1, u2, u_coin, u_r,
                               ox, oy, oz, dx, dy, dz,
                               thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
-                              miss)
+                              miss, rec_bits_write=rec_bits_write)
 
             # ---- intersect: unrolled sphere loop, direct quadratic form
             t_best = jnp.full_like(dx, jnp.inf)
@@ -2343,7 +2508,15 @@ def mse_loss_pallas(scene: Scene, target, width: int,
 def supports_fused_mse(scene: Scene) -> bool:
     """Static gate for the fused render->MSE->grad kernel: the brute-kernel
     envelope minus skymap (the equirect gather cannot run in-kernel), with
-    each pixel's samples contiguous within a lane row."""
+    each pixel's samples contiguous within a lane row.
+
+    NOTE the spp-divisibility clause: the in-kernel pixel-mean projector
+    needs BLOCK_COLS % spp == 0, so spp must divide 256 (1/2/4/8/...).
+    The reference's DEFAULT spp=5 (lib/core/scene.rs:42-65 and
+    scenes/simple.json) does NOT divide 256 — such fits take the generic
+    two-pass custom_vjp path (forward kernel + fused replay+vjp backward;
+    same gradients, ~2.4x slower per step).  Pinned by
+    tests/test_dispatch.py::test_fused_mse_spp_gate."""
     return (
         supports(scene)
         and scene.background.kind in (B.UNIFORM, B.GRADIENT)
@@ -2370,14 +2543,18 @@ def _env_finish(scene: Scene, outs, n_rays: int):
 
 
 def _pack_fparams(scene: Scene, width: int, height: int,
-                  with_spheres: bool = True, mix: bool = False):
+                  with_spheres: bool = True, mix: bool = False,
+                  mesh_vols: bool = False):
     """Runtime scene constants -> (K,) f32 (traced; no host sync).
 
     ``with_spheres=False`` packs only the head (camera + background + pixel
     scale) — the BVH kernel keeps sphere constants in VMEM chunks instead
     of SMEM.  ``mix`` extends each sphere record to _SPHERE_STRIDE_MIX with
     the mix factor + second-leaf parameters (leaf A rides the base slots
-    via mix_first, which is the identity for non-mix rows)."""
+    via mix_first, which is the identity for non-mix rows).
+    ``mesh_vols`` (BVH kernel) appends one _MV_STRIDE record per
+    mesh-bounded volume: free-flight density + the delegated material's
+    values and kind one-hots."""
     origin, horizontal, vertical, lower_left = scene.camera.ray_origin()
     bg = scene.background
     bg_a = bg.color_a
@@ -2387,6 +2564,23 @@ def _pack_fparams(scene: Scene, width: int, height: int,
         bg_a, bg_b,
         jnp.array([1.0 / (width - 1), 1.0 / (height - 1)], jnp.float32),
     ])
+    if mesh_vols and scene.num_mesh_volumes:
+        mats = scene.materials
+        mid = scene.mesh_volumes.material
+        kind = mats.kind[mid]
+        f32 = jnp.float32
+        mv = jnp.concatenate([
+            scene.mesh_volumes.neg_inv_density[:, None],
+            mats.albedo[mid],
+            mats.fuzz[mid][:, None],
+            mats.ir[mid][:, None],
+            mats.emission[mid],
+            (kind == M.LAMBERTIAN).astype(f32)[:, None],
+            (kind == M.METAL).astype(f32)[:, None],
+            (kind == M.DIELECTRIC).astype(f32)[:, None],
+            (kind == M.EMISSION).astype(f32)[:, None],
+        ], axis=1).reshape(-1)
+        head = jnp.concatenate([head, mv])
     if not with_spheres:
         return head.astype(jnp.float32)
     mats = scene.materials
@@ -2568,7 +2762,8 @@ def _bvh_kinds(scene: Scene) -> tuple:
 
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
-                     k_vol=0, n_vol=0, record=False, gens=1, mix=False):
+                     k_vol=0, n_vol=0, record=False, gens=1, mix=False,
+                     mv_spans=()):
     """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
     ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
     ride VMEM.  Tree order: solid spheres, volume spheres, triangles.
@@ -2579,6 +2774,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
     has_sph = k_sph > 0
     has_vol = k_vol > 0
     has_tri = k_tri > 0
+    has_mv = len(mv_spans) > 0
     nm = 1 if mix else 0
 
     def kernel(iparams, fparams, *refs):
@@ -2605,6 +2801,10 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
             tri_ = (tri_nodes[0], tri_nodes[1], k_tri,
                     *refs[:2 + nm])
             refs = refs[2 + nm:]
+        mv_ = None
+        if has_mv:
+            mv_ = (refs[0], mv_spans)
+            refs = refs[1:]
         ray_id_ref, px_ref, py_ref = refs[:3]
         outs = refs[3:]
         rec_ref = None
@@ -2626,8 +2826,9 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
             n_spheres=0, max_depth=max_depth, sphere_kinds=(),
             bg_kind=bg_kind, clay=clay, unrolled=False,
             tri=None, tri_kinds=kinds,
-            bvh={"sph": sph, "vol": vol_, "tri": tri_},
-            record_ref=rec_ref, n_vol=n_vol, gens=gens, mix=mix,
+            bvh={"sph": sph, "vol": vol_, "tri": tri_, "mv": mv_},
+            record_ref=rec_ref, n_vol=n_vol, n_mv=len(mv_spans),
+            gens=gens, mix=mix,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -2639,7 +2840,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
 def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
               n_vol_chunks=0, k_vol=0, n_vol=0, record=False, gens=1,
-              mix=False):
+              mix=False, mv_spans=()):
     """pallas_call wrapper for one static BVH-kernel configuration.
     ``record`` appends an (rows, max_depth * 256) int32 output holding the
     per-bounce winner records.  ``gens`` > 1 makes each grid step cover
@@ -2667,12 +2868,15 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
         in_specs += [full(n_vol_chunks * 16, BVH_LEAF)] * (2 + nm)
     if n_tri_chunks:
         in_specs += [full(n_tri_chunks * 16, BVH_LEAF)] * (2 + nm)
+    n_mv_chunks = sum(nc for _, nc in mv_spans)
+    if n_mv_chunks:
+        in_specs += [full(n_mv_chunks * 16, BVH_LEAF)]
     in_specs += [block, block, block]
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
     kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
                               k_vol=k_vol, n_vol=n_vol, record=record,
-                              gens=gens, mix=mix)
+                              gens=gens, mix=mix, mv_spans=mv_spans)
     out_specs = [block] * n_out
     out_shape = [out] * n_out
     if record:
@@ -2708,7 +2912,7 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
 def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
               width, height, n_rays, n_vol_chunks=0, k_vol=0, n_vol=0,
-              gens=1, mix=False):
+              gens=1, mix=False, mv_spans=()):
     """custom_vjp-wrapped BVH-kernel radiance for one static configuration.
 
     Primal: the packet-traversal forward kernel (while-loop traversal, no
@@ -2721,7 +2925,8 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
 
     def prep(scene, width=width, height=height):
         cb = scene.cbvh
-        fparams = _pack_fparams(scene, width, height, with_spheres=False)
+        fparams = _pack_fparams(scene, width, height, with_spheres=False,
+                                mesh_vols=bool(mv_spans))
         scal, tens = [], []
         if cb.n_sph_chunks:
             scal += [cb.sph_nodes_f, cb.sph_nodes_i]
@@ -2738,6 +2943,8 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
             tens += list(_pack_tri_chunks(scene, cb.tri_perm))
             if mix:
                 tens += [_pack_chunks_s2(scene, cb.tri_perm, tri=True)]
+        if mv_spans:
+            tens += [_pack_mv_chunks(scene, cb.mv_perm)]
         return fparams, scal, tens
 
     def finish(scene, outs):
@@ -2754,8 +2961,8 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
             n_vol_chunks, k_vol, n_vol)
     # the primal may be generation-scheduled (pure scheduling — bitwise
     # identical per ray); the record variant stays single-generation
-    run_fwd = _bvh_call(*args, gens=gens, mix=mix)
-    run_rec = _bvh_call(*args, record=True, mix=mix)
+    run_fwd = _bvh_call(*args, gens=gens, mix=mix, mv_spans=mv_spans)
+    run_rec = _bvh_call(*args, record=True, mix=mix, mv_spans=mv_spans)
 
     @jax.custom_vjp
     def radiance(scene, iparams, ray_ids, px, py):
@@ -2868,6 +3075,7 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
         n_vol=scene.spheres.num_volumes, gens=gens,
         mix=bool(scene.materials.has_mix),
+        mv_spans=cb.mv_spans if scene.num_mesh_volumes else (),
     )
     radiance = radiance_fn(scene, iparams, ray_ids, px, py)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)

@@ -75,7 +75,7 @@ def schlick(cosine, idx):
 
 
 def scatter(table: M.MaterialTable, mat_id, d_in, normal, front_face, u,
-            clay: bool = False):
+            clay: bool = False, forced: dict | None = None):
     """Evaluate all lobes, select by material kind.
 
     Args:
@@ -87,6 +87,12 @@ def scatter(table: M.MaterialTable, mat_id, d_in, normal, front_face, u,
          columns after the mix coins are (dir1, dir2, coin, radius).
       clay: Clay render mode — force Lambertian(0.8 gray)
             (lib/core/render.rs:41).
+      forced: optional recorded DISCRETE decisions overriding the
+         recomputed ones ({'metal_ok': (R,) bool, 'dielectric_reflect':
+         (R,) bool}) — the exact-replay path (diff/replay.py): the Pallas
+         record kernel stores each bounce's branch bits so the replayed
+         chain takes EXACTLY the primal's branches even where f32
+         recomputation would ulp-flip a borderline comparison.
 
     Returns (attenuation (R,3), new_dir (R,3), does_scatter (R,)).
     """
@@ -141,6 +147,8 @@ def scatter(table: M.MaterialTable, mat_id, d_in, normal, front_face, u,
             reflected + tgather(table.fuzz, mat_id)[..., None] * sphere_dir
         )
         metal_ok = vec.dot(metal_dir, normal) > 0.0
+        if forced is not None and forced.get("metal_ok") is not None:
+            metal_ok = forced["metal_ok"]
         lobe(M.METAL, jnp.where(metal_ok[..., None], albedo, black),
              metal_dir, metal_ok)
 
@@ -159,6 +167,9 @@ def scatter(table: M.MaterialTable, mat_id, d_in, normal, front_face, u,
         choose_reflect = cannot_refract | (
             schlick(cos_theta, ratio) > u_coin
         )
+        if forced is not None and \
+                forced.get("dielectric_reflect") is not None:
+            choose_reflect = forced["dielectric_reflect"]
         diel_dir = jnp.where(
             choose_reflect[..., None],
             vec.reflect(ud, normal),

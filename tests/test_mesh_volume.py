@@ -161,14 +161,66 @@ def test_mesh_volume_json_roundtrip(tmp_path):
     assert b2.to_json() == d
 
 
-def test_mesh_volume_stays_off_kernels():
+def _mesh_vol_scene(density=2.0):
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0, 1), (0, 0, -2), (0, 1, 0), 60.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=5)
+    iso = b.add_material(Isotropic((0.6, 0.7, 0.8)))
+    lam = b.add_material(Lambertian((0.7, 0.4, 0.3)))
+    em = b.add_material(Emission((2.0, 1.8, 1.5)))
+    mi = b.add_mesh(_cube_mesh((0, 0, -2), 0.5, iso))
+    b.add_volume(mi, density)
+    b.add_sphere((1, 0, -2), 0.4, lam)
+    b.add_sphere((-1, 0.8, -2), 0.3, em)
+    return b.build(with_bvh=True)
+
+
+def test_mesh_volume_on_bvh_kernel():
+    """r4 (VERDICT r3 #8): mesh-bounded volumes ride the packet kernel —
+    a dense two-pass crossing scan per volume (entry at any t, exit >=
+    entry + T_MIN) + free flight; the brute kernel still excludes them."""
     from raytracingrust_tpu.ops import pallas_megakernel as PK
 
-    b = SceneBuilder()
-    iso = b.add_material(Isotropic((0.5, 0.5, 0.5)))
-    mi = b.add_mesh(_cube_mesh((0, 0, -2), 0.5, iso))
-    b.add_volume(mi, 2.0)
-    b.add_sphere((1, 0, -2), 0.4, iso)
-    s = b.build(with_bvh=True)
+    s = _mesh_vol_scene()
     assert not PK.supports(s)
-    assert not PK.supports_bvh(s)
+    assert PK.supports_bvh(s)
+    assert len(s.cbvh.mv_spans) == 1
+
+    xla = np.asarray(render_linear(s, 12, 12, seed=0, engine="xla"))
+    bvh = np.asarray(render_linear(s, 12, 12, seed=0,
+                                   engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, bvh, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.08, (
+        f"{mismatched:.4f} channels differ; "
+        f"max {np.abs(xla - bvh).max():.5f}")
+    assert np.abs(xla - bvh).mean() < 4e-2
+
+
+def test_mesh_volume_bvh_grad_fd():
+    """Record+replay through a mesh-volume hit: AD of the fixed-seed loss
+    vs central finite differences in the phase-material albedo."""
+    import dataclasses
+
+    import jax
+
+    s = _mesh_vol_scene(density=4.0)
+
+    def loss(albedo):
+        mats = dataclasses.replace(
+            s.materials, albedo=s.materials.albedo.at[0].set(albedo))
+        s2 = dataclasses.replace(s, materials=mats)
+        img = render_linear(s2, 10, 10, seed=0, engine="pallas_bvh")
+        return jnp.sum(img ** 2)
+
+    a0 = jnp.array([0.6, 0.7, 0.8], jnp.float32)
+    g = jax.jit(jax.grad(loss))(a0)
+    loss_j = jax.jit(loss)
+    checked = 0
+    for i in range(3):
+        eps = 1e-3
+        want = (float(loss_j(a0.at[i].add(eps)))
+                - float(loss_j(a0.at[i].add(-eps)))) / (2 * eps)
+        got = float(g[i])
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=5e-3)
+        checked += abs(got) > 1e-6
+    assert checked >= 2, "phase-material albedo gradient should be live"
