@@ -26,6 +26,7 @@ the replay is the recursion's multiply chain with hits pinned.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..models.scene import MODE_CLAY, Scene
@@ -169,18 +170,59 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         if n_mv:
             # mesh-bounded volume winners: recompute the recorded
             # volume's free-flight t with the SAME uniform column the
-            # kernel consumed — differentiable in density and boundary
-            # vertices (ops/intersect.py mesh_volume_ts)
-            from ..ops.intersect import mesh_volume_ts
+            # kernel consumed.  Crossing times scan the volume's chunks
+            # under a fori_loop with DETACHED geometry — (R, leaf_size)
+            # working set instead of a dense (R, T) matrix (a house-fog
+            # fit would OOM on the dense form), and no vjp residuals.
+            # Boundary-VERTEX gradients through crossing times are
+            # therefore detached (silhouette-class, out of scope per
+            # SURVEY hard part (b)); density + phase-material gradients
+            # flow.  A recorded winner whose XLA recompute ulp-flips to
+            # "no crossing" falls back to t=1 (gradient noise on that
+            # ray, never an inf/NaN poisoning the step).
+            import dataclasses as _dc
 
-            t_mv = mesh_volume_ts(scene, o, d, u_vol[:, n_vol:],
-                                  T_MIN, jnp.inf)       # (R, V)
+            from ..ops.intersect import INF, triangle_ts_raw
+
+            tris_d = jax.lax.stop_gradient(scene.triangles)
+            o_d = jax.lax.stop_gradient(o)
+            d_d = jax.lax.stop_gradient(d)
+            lf_ = cb.leaf_size
+            ray_len = jnp.sqrt(vec.length_squared(d_d))
             vsel = jnp.clip(code - mv_base, 0, n_mv - 1)
-            t_hit = jnp.where(
-                is_mv, jnp.take_along_axis(t_mv, vsel[:, None],
-                                           axis=1)[:, 0], t_hit)
-            mid = jnp.where(is_mv, scene.mesh_volumes.material[vsel],
-                            mid)
+
+            def chunk_min(c, best, c0, floor):
+                ids = jax.lax.dynamic_slice(cb.mv_perm,
+                                            ((c0 + c) * lf_,), (lf_,))
+                pad = ids < 0
+                ids_s = jnp.maximum(ids, 0)
+                sub = _dc.replace(
+                    tris_d, v0=tris_d.v0[ids_s], e1=tris_d.e1[ids_s],
+                    e2=tris_d.e2[ids_s], normal=tris_d.normal[ids_s],
+                    material=tris_d.material[ids_s],
+                    volume=tris_d.volume[ids_s])
+                t_raw, geo = triangle_ts_raw(sub, o_d, d_d)  # (R, lf)
+                valid = geo & ~pad[None, :] & (t_raw >= floor[:, None])
+                ti = jnp.where(valid, t_raw, INF)
+                return jnp.minimum(best, ti.min(axis=1))
+
+            for v, (c0, nc) in enumerate(cb.mv_spans):
+                inf0 = jnp.full(o.shape[:1], INF, jnp.float32)
+                t1 = jax.lax.fori_loop(
+                    0, nc, lambda c, b: chunk_min(c, b, c0, -inf0), inf0)
+                t2 = jax.lax.fori_loop(
+                    0, nc, lambda c, b: chunk_min(c, b, c0, t1 + T_MIN),
+                    inf0)
+                del t2  # the recorded winner implies a valid window
+                h1 = jnp.maximum(jnp.maximum(t1, T_MIN), 0.0)
+                nid = scene.mesh_volumes.neg_inv_density[v]
+                uu = u_vol[:, n_vol + v]
+                hit_dist = nid * jnp.log(jnp.maximum(uu, 1e-37))
+                t_v = h1 + hit_dist / ray_len
+                t_v = jnp.where(jnp.isfinite(t_v), t_v, 1.0)
+                sel = is_mv & (vsel == v)
+                t_hit = jnp.where(sel, t_v, t_hit)
+                mid = jnp.where(sel, scene.mesh_volumes.material[v], mid)
 
         t_safe = jnp.where(hit, t_hit, 1.0)
         point = o + t_safe[:, None] * d

@@ -133,6 +133,13 @@ class Background:
             }
         # The reference serializes the raw pixel vec; we serialize the source
         # path instead (human-sized JSON) with the raw form as a fallback.
+        if not self.path:
+            # array-built skymaps have no source path; fail HERE rather
+            # than writing JSON from_json cannot load back
+            raise ValueError(
+                "SkyMap built from an in-memory array (no source path) "
+                "is not JSON-serializable; construct it with "
+                "Background.skymap(path) to keep scenes savable")
         return {"type": "SkyMap", "path": self.path,
                 "width": int(self.image.shape[1]),
                 "height": int(self.image.shape[0])}

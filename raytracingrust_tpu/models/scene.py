@@ -299,13 +299,17 @@ class Scene:
             return MixMaterial(mat(int(m1[i])), mat(int(m2[i])),
                                float(mf[i]))
 
-        # every table row serializes (mix children stay standalone rows
-        # too, so sphere material indices remain valid handles)
-        materials = [material_to_json(mat(i)) for i in range(len(kind))]
-
         centers = np.asarray(self.spheres.center)
         radii = np.asarray(self.spheres.radius)
         smat = np.asarray(self.spheres.material)
+
+        # serialize only the HANDLE rows (what objects reference); mix
+        # children live AFTER the handle rows (build_table appends them)
+        # and appear inline inside their parent's MixMaterial JSON only —
+        # emitting them standalone too would re-append fresh child rows
+        # on every save->load cycle and bloat the table monotonically
+        n_handles = int(smat.max()) + 1 if smat.size else len(kind)
+        materials = [material_to_json(mat(i)) for i in range(n_handles)]
         nid = np.asarray(self.spheres.neg_inv_density)
         objs = []
         for i in range(len(radii)):

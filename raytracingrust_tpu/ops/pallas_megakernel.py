@@ -893,23 +893,55 @@ def _sphere_chunk_hit(s_ref, chunk, o3, d3, a, t_best, par, win,
                              code, code_rows)
 
 
+def _tri_gcols(g):
+    """(128, 16) sublane geometry -> the 9 (128, 1) _TG_ columns."""
+    def col(j):
+        return g[:, j:j + 1]
+    return (col(_TG_V0), col(_TG_V0 + 1), col(_TG_V0 + 2),
+            col(_TG_E1), col(_TG_E1 + 1), col(_TG_E1 + 2),
+            col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2))
+
+
+def _row_mt(gcols, o_r, d_r):
+    """Direct cross-product Moller-Trumbore of ONE ray row ((1, cols)
+    slices) against 128 gathered triangles -> (tt (128, cols), bary_ok).
+    The SINGLE copy of the kernel's triangle arithmetic — shared by the
+    surface-chunk leaf (_tri_chunk_hit) and the mesh-volume crossing scan
+    (_mv_min_t); same ops as the XLA path's gather_triangle_t, so winners
+    match the other engines bitwise.  Callers apply their own t-range
+    policy (surface: (T_MIN, t_best]; crossings: any t >= floor)."""
+    v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = gcols
+    oxr, oyr, ozr = o_r
+    dxr, dyr, dzr = d_r
+    hx = dyr * e2z - dzr * e2y                             # h = d x e2
+    hy = dzr * e2x - dxr * e2z
+    hz = dxr * e2y - dyr * e2x
+    a_ = e1x * hx + e1y * hy + e1z * hz
+    ok = jnp.abs(a_) > TRI_DET_EPS
+    f = 1.0 / jnp.where(ok, a_, 1.0)
+    sx = oxr - v0x                                         # s = o - v0
+    sy = oyr - v0y
+    sz = ozr - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y                               # q = s x e1
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dxr * qx + dyr * qy + dzr * qz)
+    tt = f * (e2x * qx + e2y * qy + e2z * qz)
+    bary_ok = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+               & (u + v <= 1.0))
+    return tt, bary_ok
+
+
 def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win,
                    code=None, code_base=0, s2_ref=None, u_mix=None):
     """Intersect one 128-triangle chunk against the whole ray block —
-    direct cross-product Moller-Trumbore (same arithmetic as the XLA BVH
-    path's gather_triangle_t), merging winners."""
+    direct cross-product Moller-Trumbore (_row_mt), merging winners."""
     base = pl.multiple_of(chunk * 16, 16)
     g_m = g_ref[pl.ds(base, 16), :]                        # (16, 128)
     s_m = s_ref[pl.ds(base, 16), :]
     s2_m = s2_ref[pl.ds(base, 16), :] if s2_ref is not None else None
-    g = _to_sublanes(g_m)                                  # (128, 16)
-
-    def col(j):
-        return g[:, j:j + 1]                               # (128, 1)
-
-    v0x, v0y, v0z = col(_TG_V0), col(_TG_V0 + 1), col(_TG_V0 + 2)
-    e1x, e1y, e1z = col(_TG_E1), col(_TG_E1 + 1), col(_TG_E1 + 2)
-    e2x, e2y, e2z = col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2)
+    gcols = _tri_gcols(_to_sublanes(g_m))
     ox, oy, oz = o3
     dx, dy, dz = d3
     code_val = chunk * BVH_LEAF + code_base if code is not None else None
@@ -917,25 +949,10 @@ def _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3, t_best, par, win,
     for r in range(t_best.shape[0]):
         def row(v, r=r):
             return v[r:r + 1, :]
-        dxr, dyr, dzr = row(dx), row(dy), row(dz)
-        hx = dyr * e2z - dzr * e2y                         # h = d x e2
-        hy = dzr * e2x - dxr * e2z
-        hz = dxr * e2y - dyr * e2x
-        a_ = e1x * hx + e1y * hy + e1z * hz
-        ok = jnp.abs(a_) > TRI_DET_EPS
-        f = 1.0 / jnp.where(ok, a_, 1.0)
-        sx = row(ox) - v0x                                 # s = o - v0
-        sy = row(oy) - v0y
-        sz = row(oz) - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y                           # q = s x e1
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (dxr * qx + dyr * qy + dzr * qz)
-        tt = f * (e2x * qx + e2y * qy + e2z * qz)
+        tt, bary_ok = _row_mt(gcols, (row(ox), row(oy), row(oz)),
+                              (row(dx), row(dy), row(dz)))
         tb_r = t_best[r:r + 1]
-        valid = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                 & (u + v <= 1.0) & (tt > T_MIN) & (tt <= tb_r))
+        valid = bary_ok & (tt > T_MIN) & (tt <= tb_r)
         ti = jnp.where(valid, tt, jnp.inf)
         _merge_leaf_rows(ti, s_m, t_best, par, win, 0.0, r,
                          tb_rows, par_rows, win_rows,
@@ -958,36 +975,14 @@ def _mv_min_t(g_ref, c0, nc, o3, d3, floor_rows):
     def body(c, best):
         base = pl.multiple_of((c0 + c) * 16, 16)
         g_m = g_ref[pl.ds(base, 16), :]
-        g = _to_sublanes(g_m)
-
-        def col(j):
-            return g[:, j:j + 1]
-
-        v0x, v0y, v0z = col(_TG_V0), col(_TG_V0 + 1), col(_TG_V0 + 2)
-        e1x, e1y, e1z = col(_TG_E1), col(_TG_E1 + 1), col(_TG_E1 + 2)
-        e2x, e2y, e2z = col(_TG_E2), col(_TG_E2 + 1), col(_TG_E2 + 2)
+        gcols = _tri_gcols(_to_sublanes(g_m))
         rows = []
         for r in range(best.shape[0]):
             def row(v, r=r):
                 return v[r:r + 1, :]
-            dxr, dyr, dzr = row(dx), row(dy), row(dz)
-            hx = dyr * e2z - dzr * e2y
-            hy = dzr * e2x - dxr * e2z
-            hz = dxr * e2y - dyr * e2x
-            a_ = e1x * hx + e1y * hy + e1z * hz
-            ok = jnp.abs(a_) > TRI_DET_EPS
-            fq = 1.0 / jnp.where(ok, a_, 1.0)
-            sx = row(ox) - v0x
-            sy = row(oy) - v0y
-            sz = row(oz) - v0z
-            u = fq * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = fq * (dxr * qx + dyr * qy + dzr * qz)
-            tt = fq * (e2x * qx + e2y * qy + e2z * qz)
-            valid = (ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-                     & (u + v <= 1.0) & (tt >= row(floor_rows)))
+            tt, bary_ok = _row_mt(gcols, (row(ox), row(oy), row(oz)),
+                                  (row(dx), row(dy), row(dz)))
+            valid = bary_ok & (tt >= row(floor_rows))
             ti = jnp.where(valid, tt, jnp.inf)
             rows.append(jnp.minimum(
                 row(best), jnp.min(ti, axis=0, keepdims=True)))

@@ -41,7 +41,7 @@ def emit(name, seconds, extra=None):
     print(json.dumps(rec), flush=True)
 
 
-def time_best(fn, iters=3, warmup=2):
+def time_steady(fn, iters=3, warmup=2):
     """Steady-state average: compile + ``warmup`` dispatches first (the
     first dispatches after a compile pay ~20 ms of one-time tunnel/queue
     latency — docs/performance.md round-4 reconciliation), then the mean
@@ -98,7 +98,7 @@ def main():
     if "simple_render" not in args.skip:
         b = SceneBuilder.from_file(os.path.join(REF, "scenes", "simple.json"))
         scene = b.build()
-        dt = time_best(
+        dt = time_steady(
             lambda i: render_linear(scene, 100, 100,
                                     seed=i).block_until_ready(),
             args.iters,
@@ -110,13 +110,13 @@ def main():
     if "bvh_build_8k" not in args.skip:
         spheres = sphere_grid(20, 20, 20).build(with_bvh=False).spheres
         tris = SceneBuilder().build(with_bvh=False).triangles
-        dt = time_best(lambda i: build_bvh(spheres, tris), args.iters)
+        dt = time_steady(lambda i: build_bvh(spheres, tris), args.iters)
         emit("bvh_build_8000", dt)
 
     if "bvh_build_30k" not in args.skip:
         spheres = sphere_grid(10, 55, 55).build(with_bvh=False).spheres
         tris = SceneBuilder().build(with_bvh=False).triangles
-        dt = time_best(lambda i: build_bvh(spheres, tris), args.iters)
+        dt = time_steady(lambda i: build_bvh(spheres, tris), args.iters)
         emit("bvh_build_30250", dt)
 
     # --- mesh render: monkey.obj 40x40 spp10 depth50 (benches/mesh.rs)
@@ -130,7 +130,7 @@ def main():
         b.add_mesh(Mesh.from_file(
             os.path.join(REF, "assets", "monkey.obj"), m))
         scene = b.build(with_bvh=True)
-        dt = time_best(
+        dt = time_steady(
             lambda i: render_linear(scene, 40, 40,
                                     seed=i).block_until_ready(),
             args.iters,
@@ -149,7 +149,7 @@ def main():
                 render_linear(scene, w, h, seed=i,
                               engine=eng).block_until_ready()
             try:
-                dt = time_best(go, args.iters)
+                dt = time_steady(go, args.iters)
             except Exception as e:  # pragma: no cover - engine gate
                 emit(f"{name}[{eng}]", float("nan"),
                      {"error": type(e).__name__})

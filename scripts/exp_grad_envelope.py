@@ -121,13 +121,16 @@ def main():
         engines = {"spheres50": ("pallas", "pallas_bvh"),
                    "spheres50_brute": ("pallas",),
                    "spheres50_bvh": ("pallas_bvh",)}
+        ran = set()
         for key, engs in engines.items():
             if not want(key):
                 continue
             for eng in engs:
+                if eng in ran:
+                    continue
+                ran.add(eng)
                 fit_row(f"fit_simple102_d50_spp8_{s}x{s}", scene, s, s,
                         eng)
-            break
 
 
 if __name__ == "__main__":

@@ -183,3 +183,44 @@ def test_scene_save_mesh_raises(reference_assets):
     scene = b.build(with_bvh=False)
     with pytest.raises(ValueError, match="not JSON-serializable"):
         scene.to_json()
+
+
+def test_scene_save_mix_table_stable(tmp_path):
+    """Mix children serialize ONLY inline in their parent (not as
+    standalone rows too): repeated save->load cycles keep the material
+    table the same size instead of re-appending children each time."""
+    from raytracingrust_tpu import (Lambertian, Metal, MixMaterial,
+                                    SceneBuilder)
+    from raytracingrust_tpu.models.scene import load_scene
+
+    b = SceneBuilder()
+    m = b.add_material(MixMaterial(
+        Lambertian((0.5, 0.5, 0.5)), Metal((0.9, 0.9, 0.9), 0.1), 0.5))
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(with_bvh=False)
+    rows0 = len(scene.materials)
+
+    cur = scene
+    for i in range(3):
+        p = tmp_path / f"rt{i}.json"
+        cur.save(str(p))
+        cur = load_scene(str(p), with_bvh=False)
+        assert len(cur.materials) == rows0
+    a = np.asarray(render_linear(scene, 8, 8, seed=0))
+    c = np.asarray(render_linear(cur, 8, 8, seed=0))
+    np.testing.assert_array_equal(a, c)
+
+
+def test_skymap_without_path_fails_loudly(tmp_path):
+    """An array-built skymap has no source path; saving must raise here
+    rather than write JSON that load_scene cannot read back."""
+    from raytracingrust_tpu import Background, Lambertian, SceneBuilder
+
+    b = SceneBuilder()
+    b.background = Background.skymap_from_array(
+        np.ones((4, 8, 3), np.float32))
+    m = b.add_material(Lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0, -2), 0.5, m)
+    scene = b.build(with_bvh=False)
+    with pytest.raises(ValueError, match="not JSON-serializable"):
+        scene.save(str(tmp_path / "sky.json"))
