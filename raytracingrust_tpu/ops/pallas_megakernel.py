@@ -137,7 +137,9 @@ def supports(scene: Scene) -> bool:
         and 0 < (len(scene.spheres) + len(scene.triangles))
         and len(scene.spheres) <= MAX_UNROLLED_SPHERES
         and _mix_in_kernel_ok(scene)
-        and scene.num_mesh_volumes == 0  # XLA-only (whole-mesh crossings)
+        # mesh-bounded volumes: the PACKET kernel's dense crossing scan
+        # (supports_bvh) — the brute kernel has no whole-mesh crossings
+        and scene.num_mesh_volumes == 0
         and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         and not _env_is_active(scene)  # MIS/NEE estimator is XLA-only
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)

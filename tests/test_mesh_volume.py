@@ -1,8 +1,10 @@
 """Mesh-bounded constant-density volumes (Volume::new over ANY Object,
 lib/volume.rs:25-31 — the reference accepts mesh boundaries; round 2 only
-supported spheres).  XLA-engine feature: the brute intersector finds each
-volume's entry/exit crossings among its own triangles and free-flights
-between them with the volume's own uniform column."""
+supported spheres).  The XLA intersector finds each volume's entry/exit
+crossings among its own triangles and free-flights between them with the
+volume's own uniform column; since r4 the packet-traversal Pallas kernel
+runs the same semantics via a dense per-volume crossing scan
+(differentiable through record+replay)."""
 
 import numpy as np
 import jax.numpy as jnp
