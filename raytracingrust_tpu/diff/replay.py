@@ -37,13 +37,26 @@ from ..utils.types import T_MIN
 
 
 def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
-                    width: int, height: int):
+                    width: int, height: int, env=None):
     """(R, max_depth) winner records -> per-ray radiance (R, 3).
 
     Differentiable in every material / camera / background / geometry leaf
     of ``scene``.  ``key_words``: the kernel's (2,) seed words (iparams);
     ``ray_ids``/``px``/``py``: flat (R,) ray metadata exactly as fed to the
     kernel (global ids keep the RNG byte-identical to the kernel's draws).
+
+    ``env``: None, or {"occlude": fn(point (R,3), d_l (R,3), bounce) ->
+    (R,) bool} — switches the replay to the one-sample-MIS environment
+    estimator (the EXACT math of render/integrator.py's env_is blocks:
+    NEE toward a luminance-sampled sky direction with a balance-heuristic
+    weight, BSDF-sampled misses weighted by the complementary factor).
+    The occlusion callback is the kernel-speed shadow-ray test
+    (ops.pallas_megakernel.occlusion_bvh); its result is a discrete mask
+    (non-differentiable by construction).  This is what lets HDRI
+    importance-sampled scenes run on the Pallas path: the record kernel's
+    naive WALK visits the same hits the MIS estimator shades (NEE only
+    adds contributions; it never changes the path), so the replay can
+    assemble the full estimator from the records.
     """
     cb = scene.cbvh
     key = jnp.asarray(key_words).astype(jnp.uint32)
@@ -68,6 +81,7 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
     thr = jnp.ones_like(o)
     rad = jnp.zeros_like(o)
     alive = jnp.ones(o.shape[:-1], bool)
+    mis_pdf = jnp.zeros(o.shape[:-1])  # 0 = no MIS for primary rays
 
     # permutation slot -> original primitive id (pad slots clamp to 0; a
     # pad lane never wins so the dummy gather is always masked out)
@@ -247,6 +261,15 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         # equirect gather is differentiable w.r.t. the sky texels
         missed = alive & (code < 0)
         bg_rad = scene.background.sample(d)
+        if env is not None:
+            # MIS weight of the BSDF-sampled env hit (integrator.py
+            # env_is: rays whose last scatter was diffuse share the env's
+            # measure with the NEE sample; specular/primary keep w = 1)
+            dn = vec.normalize(jax.lax.stop_gradient(d))
+            p_env = scene.background.pdf(dn)
+            w_b = jnp.where(mis_pdf > 0.0,
+                            mis_pdf / (mis_pdf + p_env), 1.0)
+            bg_rad = bg_rad * w_b[..., None]
         rad = rad + jnp.where(missed[:, None], thr * bg_rad, 0.0)
 
         # front-face flip + branchless lobes (same uniforms as the kernel);
@@ -266,6 +289,40 @@ def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
         terminal = hit & ~scatters
         rad = rad + jnp.where(terminal[:, None], thr * atten, 0.0)
         cont = hit & scatters
+        if env is not None:
+            # next-event estimation toward a luminance-sampled sky
+            # direction — op-for-op the integrator.py env_is block
+            from ..models import materials as M
+            from ..models.backgrounds import sample_skymap_direction
+            from ..render.integrator import nee_stream
+            from ..utils.types import PI
+
+            kind = scene.materials.kind[mid]
+            diffuse = cont & (kind == M.LAMBERTIAN)
+            un = rng.ray_uniforms(key, ray_ids,
+                                  nee_stream(b, max_depth), 2 + n_vol)
+            d_l, p_l = sample_skymap_direction(
+                scene.background, un[:, 0], un[:, 1])
+            d_l = jax.lax.stop_gradient(d_l)
+            p_l = jax.lax.stop_gradient(p_l)
+            cos_l = jnp.maximum(vec.dot(n, d_l), 0.0)
+            occluded = env["occlude"](
+                jax.lax.stop_gradient(point), d_l, b)
+            p_b = cos_l / PI
+            w_l = p_l / (p_l + p_b)
+            L = scene.background.sample(d_l)
+            albedo = scene.materials.albedo[mid]
+            nee = (
+                thr * albedo * L
+                * (cos_l / PI / jnp.maximum(p_l, 1e-12) * w_l)[..., None]
+            )
+            take = diffuse & ~occluded & (cos_l > 0.0)
+            rad = rad + jnp.where(take[:, None], nee, 0.0)
+
+            ndn = vec.normalize(jax.lax.stop_gradient(new_dir))
+            cos_n = jnp.maximum(vec.dot(n, ndn), 0.0)
+            mis_pdf = jax.lax.stop_gradient(
+                jnp.where(diffuse, cos_n / PI, 0.0))
         thr = jnp.where(cont[:, None], thr * atten, thr)
         o = jnp.where(cont[:, None], point, o)
         d = jnp.where(cont[:, None], new_dir, d)

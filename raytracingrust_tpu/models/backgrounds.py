@@ -175,19 +175,27 @@ def sample_skymap_direction(bg: Background, u1, u2):
     h, w = bg.image.shape[0], bg.image.shape[1]
 
     # invert the row marginal, reusing the remaining uniform mass as the
-    # intra-texel jitter
-    y = jnp.clip(jnp.searchsorted(bg.cdf_rows, u1, side="left"), 0, h - 1)
-    cdf_lo = jnp.where(y > 0, bg.cdf_rows[y - 1], 0.0)
+    # intra-texel jitter.  CDF inversion is a broadcast compare-and-count
+    # (== searchsorted side="left": the count of entries < u IS the first
+    # index with cdf >= u) — vmapped searchsorted lowers to per-element
+    # loops whose combined module OOM-killed the TPU compile helper
+    # (r4 env-IS hybrid debugging); the dense compare is what a lane
+    # machine wants anyway.
+    y = jnp.clip(
+        jnp.sum((bg.cdf_rows[None, :] < u1[:, None]).astype(jnp.int32),
+                axis=1), 0, h - 1)
+    cdf_lo = jnp.where(y > 0, bg.cdf_rows[jnp.maximum(y - 1, 0)], 0.0)
     p_row = bg.cdf_rows[y] - cdf_lo
     frac_y = jnp.clip((u1 - cdf_lo) / jnp.maximum(p_row, 1e-20), 0.0, 1.0)
 
     rows = bg.cdf_cols[y]
     x = jnp.clip(
-        jax.vmap(lambda r, u: jnp.searchsorted(r, u, side="left"))(rows, u2),
-        0, w - 1,
-    )
-    ccdf_lo = jnp.where(x > 0, rows[jnp.arange(x.shape[0]), x - 1], 0.0)
-    p_col = rows[jnp.arange(x.shape[0]), x] - ccdf_lo
+        jnp.sum((rows < u2[:, None]).astype(jnp.int32), axis=1),
+        0, w - 1)
+    take = lambda idx: jnp.take_along_axis(rows, idx[:, None],
+                                           axis=1)[:, 0]
+    ccdf_lo = jnp.where(x > 0, take(jnp.maximum(x - 1, 0)), 0.0)
+    p_col = take(x) - ccdf_lo
     frac_x = jnp.clip((u2 - ccdf_lo) / jnp.maximum(p_col, 1e-20), 0.0, 1.0)
 
     # texel -> angles (inverse of the reference lookup: y = h-1 - floor(u*h))

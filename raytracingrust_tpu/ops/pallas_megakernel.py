@@ -524,7 +524,11 @@ def supports_bvh(scene: Scene) -> bool:
         # Nested mixes still need per-lane table gathers -> XLA.
         and _mix_in_kernel_ok(scene)
         and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
-        and not _env_is_active(scene)  # MIS/NEE estimator is XLA-only
+        # env importance sampling SUPPORTED via the r4 hybrid (record
+        # kernel walk + occlusion-kernel shadow rays + XLA MIS replay,
+        # _bvh_env_radiance) — except combined with mesh volumes, whose
+        # stochastic occlusion the shadow kernel does not model
+        and not (_env_is_active(scene) and scene.num_mesh_volumes > 0)
         and scene.settings.mode in (MODE_FULL, MODE_CLAY)
     )
 
@@ -2905,6 +2909,35 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     return run
 
 
+def _bvh_prep(scene: Scene, width: int, height: int, mix: bool,
+              mv_spans: tuple):
+    """Scene -> (fparams, node tables, chunk tensor operands) for the
+    packet-traversal kernels (shared by the custom_vjp primal, the record
+    pass, and the env-IS hybrid)."""
+    cb = scene.cbvh
+    fparams = _pack_fparams(scene, width, height, with_spheres=False,
+                            mesh_vols=bool(mv_spans))
+    scal, tens = [], []
+    if cb.n_sph_chunks:
+        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+        if mix:
+            tens += [_pack_chunks_s2(scene, cb.sph_perm)]
+    if cb.n_vol_chunks:
+        scal += [cb.vol_nodes_f, cb.vol_nodes_i]
+        tens += list(_pack_vol_chunks(scene, cb.vol_perm))
+        if mix:
+            tens += [_pack_chunks_s2(scene, cb.vol_perm)]
+    if cb.n_tri_chunks:
+        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+        if mix:
+            tens += [_pack_chunks_s2(scene, cb.tri_perm, tri=True)]
+    if mv_spans:
+        tens += [_pack_mv_chunks(scene, cb.mv_perm)]
+    return fparams, scal, tens
+
+
 @functools.lru_cache(maxsize=32)
 def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
@@ -2921,28 +2954,7 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     """
 
     def prep(scene, width=width, height=height):
-        cb = scene.cbvh
-        fparams = _pack_fparams(scene, width, height, with_spheres=False,
-                                mesh_vols=bool(mv_spans))
-        scal, tens = [], []
-        if cb.n_sph_chunks:
-            scal += [cb.sph_nodes_f, cb.sph_nodes_i]
-            tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
-            if mix:
-                tens += [_pack_chunks_s2(scene, cb.sph_perm)]
-        if cb.n_vol_chunks:
-            scal += [cb.vol_nodes_f, cb.vol_nodes_i]
-            tens += list(_pack_vol_chunks(scene, cb.vol_perm))
-            if mix:
-                tens += [_pack_chunks_s2(scene, cb.vol_perm)]
-        if cb.n_tri_chunks:
-            scal += [cb.tri_nodes_f, cb.tri_nodes_i]
-            tens += list(_pack_tri_chunks(scene, cb.tri_perm))
-            if mix:
-                tens += [_pack_chunks_s2(scene, cb.tri_perm, tri=True)]
-        if mv_spans:
-            tens += [_pack_mv_chunks(scene, cb.mv_perm)]
-        return fparams, scal, tens
+        return _bvh_prep(scene, width, height, mix, mv_spans)
 
     def finish(scene, outs):
         if bg_kind == B.SKYMAP:
@@ -3002,6 +3014,196 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     return radiance
 
 
+# ------------------------------------------- occlusion (shadow-ray) kernel
+#
+# One intersect-only pass for NEE shadow rays (the env-importance-sampling
+# hybrid, r4): given a batch of rays, traverse the chunk trees and answer
+# "does ANYTHING lie along this ray?" — the XLA integrator's
+# `closest_hit(scene, hit.point, d_l, un[:, 2:]).hit` (integrator.py
+# env_is block) at kernel speed.  Volume spheres occlude stochastically
+# exactly as in closest_hit: the kernel derives the SAME free-flight
+# uniform columns (nee stream, columns 2..) from the ray ids in-kernel.
+
+def _make_occlusion_kernel(k_sph, k_vol, k_tri, n_vol):
+    has_sph = k_sph > 0
+    has_vol = k_vol > 0
+    has_tri = k_tri > 0
+
+    def kernel(iparams, *refs):
+        refs = list(refs)
+        sph_nodes = refs[:2] if has_sph else None
+        if has_sph:
+            refs = refs[2:]
+        vol_nodes = refs[:2] if has_vol else None
+        if has_vol:
+            refs = refs[2:]
+        tri_nodes = refs[:2] if has_tri else None
+        if has_tri:
+            refs = refs[2:]
+        sph_s = vol_s = vol_x = tri_g = tri_s = None
+        if has_sph:
+            sph_s = refs.pop(0)
+        if has_vol:
+            vol_s = refs.pop(0)
+            vol_x = refs.pop(0)
+        if has_tri:
+            tri_g = refs.pop(0)
+            tri_s = refs.pop(0)
+        (ray_id_ref, ox_ref, oy_ref, oz_ref,
+         dx_ref, dy_ref, dz_ref) = refs[:7]
+        out_ref = refs[7]
+
+        seed_hi = iparams[0].astype(jnp.uint32)
+        seed_lo = iparams[1].astype(jnp.uint32)
+        stream = iparams[2].astype(jnp.uint32)
+        ray_id = ray_id_ref[...]
+        ray_u32 = ray_id.astype(jnp.uint32)
+        k0 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_hi
+        k1 = jnp.full(ray_id.shape, 0, jnp.uint32) + seed_lo
+
+        ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+        dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+        a = _dot3(dx, dy, dz, dx, dy, dz)
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+        zero = jnp.zeros_like(dx)
+        alive = jnp.ones_like(dx) > 0.0
+        t_best = jnp.full_like(dx, jnp.inf)
+        par = tuple(zero for _ in range(16))
+        win = zero
+        o3 = (ox, oy, oz)
+        d3 = (dx, dy, dz)
+
+        if has_sph:
+            nf, ni = sph_nodes
+
+            def sph_leaf(chunk, tb, pr, wn, s_ref=sph_s, a=a):
+                return _sphere_chunk_hit(s_ref, chunk, o3, d3, a,
+                                         tb, pr, wn)
+
+            t_best, par, win = _traverse_tree(
+                nf, ni, k_sph, sph_leaf, ox, oy, oz,
+                inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+        if has_vol:
+            nf, ni = vol_nodes
+            ray_len = jnp.sqrt(a)
+            # the shadow closest_hit consumes columns 2.. of the NEE
+            # stream (integrator.py: un[:, 2:]) — derive the identical
+            # draws from the ray ids
+            us = _stream_uniforms(k0, k1, ray_u32, stream, 2 + n_vol)
+            u_vols = us[2:]
+
+            def vol_leaf(chunk, tb, pr, wn, s_ref=vol_s, x_ref=vol_x,
+                         a=a, ray_len=ray_len):
+                return _vol_chunk_hit(s_ref, x_ref, chunk, o3, d3, a,
+                                      ray_len, u_vols, tb, pr, wn)
+
+            t_best, par, win = _traverse_tree(
+                nf, ni, k_vol, vol_leaf, ox, oy, oz,
+                inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+        if has_tri:
+            nf, ni = tri_nodes
+
+            def tri_leaf(chunk, tb, pr, wn, g_ref=tri_g, s_ref=tri_s):
+                return _tri_chunk_hit(g_ref, s_ref, chunk, o3, d3,
+                                      tb, pr, wn)
+
+            t_best, par, win = _traverse_tree(
+                nf, ni, k_tri, tri_leaf, ox, oy, oz,
+                inv_dx, inv_dy, inv_dz, alive, t_best, par, win)
+
+        out_ref[...] = jnp.where(t_best < jnp.inf, 1.0, 0.0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _occlusion_call(rows, interpret, n_sph_chunks, n_tri_chunks,
+                    k_sph, k_tri, n_vol_chunks=0, k_vol=0, n_vol=0):
+    shape2d = (rows, BLOCK_COLS)
+    grid = rows // BLOCK_ROWS
+    block = pl.BlockSpec(
+        (BLOCK_ROWS, BLOCK_COLS), lambda i, *_: (i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def full(r, c):
+        return pl.BlockSpec((r, c), lambda i, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = []
+    if n_sph_chunks:
+        in_specs += [full(n_sph_chunks * 16, BVH_LEAF)]
+    if n_vol_chunks:
+        in_specs += [full(n_vol_chunks * 16, BVH_LEAF)] * 2
+    if n_tri_chunks:
+        in_specs += [full(n_tri_chunks * 16, BVH_LEAF)] * 2
+    in_specs += [block] * 7
+
+    kernel = _make_occlusion_kernel(k_sph, k_vol, k_tri, n_vol)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1 + 2 * bool(n_sph_chunks)
+        + 2 * bool(n_vol_chunks) + 2 * bool(n_tri_chunks),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=block,
+    )
+
+    def run(iparams, scal, tens, ray_ids, o3, d3):
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(shape2d, jnp.float32),
+            interpret=interpret,
+        )(iparams, *scal, *tens, ray_ids, *o3, *d3)
+
+    return run
+
+
+def occlusion_bvh(scene: Scene, o, d, stream, iparams, ray_ids,
+                  interpret: bool = False):
+    """Shadow-ray occlusion test over the chunk trees -> (R,) bool.
+
+    ``o``/``d``: (R, 3) ray origins/directions; ``stream``: the uniform
+    stream id whose columns 2.. supply each volume's free-flight draw
+    (the NEE stream of the bounce, matching the XLA integrator's
+    ``closest_hit(..., un[:, 2:])``); ``ray_ids``: (R,) global ray ids.
+    Inputs are treated as NON-differentiable (the result is a discrete
+    mask; callers stop_gradient the operands)."""
+    cb = scene.cbvh
+    r = o.shape[0]
+    pad = (-r) % BLOCK
+    def blk(v):
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+        return v.reshape(-1, BLOCK_COLS)
+    rows = (r + pad) // BLOCK_COLS
+
+    run = _occlusion_call(
+        rows, interpret, cb.n_sph_chunks, cb.n_tri_chunks,
+        cb.sph_nodes, cb.tri_nodes,
+        n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
+        n_vol=scene.spheres.num_volumes,
+    )
+    scal, tens = [], []
+    if cb.n_sph_chunks:
+        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+    if cb.n_vol_chunks:
+        scal += [cb.vol_nodes_f, cb.vol_nodes_i]
+        tens += list(_pack_vol_chunks(scene, cb.vol_perm))
+    if cb.n_tri_chunks:
+        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+    ip3 = jnp.concatenate([jnp.asarray(iparams, jnp.int32).reshape(-1)[:2],
+                           jnp.asarray([stream], jnp.int32)])
+    out = run(ip3, tuple(scal), tuple(tens), blk(ray_ids),
+              tuple(blk(o[:, i]) for i in range(3)),
+              tuple(blk(d[:, i]) for i in range(3)))
+    return out.reshape(-1)[:r] > 0.5
+
+
 # Generation-count policy, from v5e measurements on the reference bench
 # shapes (docs/performance.md): deep chains win hugely from many
 # generations (monkey depth 50: 1.26M -> 11.5M rays/s from G=1 to G=128 —
@@ -3028,6 +3230,60 @@ def _pick_gens(max_depth: int, n_rays: int, bg_kind: int) -> int:
     return p
 
 
+def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
+                      iparams, *, kinds=None, interpret=False,
+                      sample_offset=0, n_samples=None):
+    """HDRI importance sampling on the Pallas path (r4, BASELINE config
+    #4): record-kernel walk + occlusion-kernel NEE shadow rays + the
+    differentiable XLA MIS replay.  -> (P, 3) mean clamped radiance.
+
+    Differentiable in the full scene pytree (the replay is the primal;
+    the two kernel passes consume DETACHED operands and produce discrete
+    outputs, so no custom AD rules are needed)."""
+    sg = jax.lax.stop_gradient
+    if kinds is None:
+        kinds = _bvh_kinds(scene)
+    cb = scene.cbvh
+    spp = scene.settings.samples_per_pixel
+    max_depth = scene.settings.max_ray_depth
+    p = pixel_ids.shape[0]
+    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width,
+                                               sample_offset, n_samples)
+    n_local = n_samples if n_samples is not None else spp
+    mix = bool(scene.materials.has_mix)
+
+    run_rec = _bvh_call(
+        max_depth, kinds, scene.background.kind,
+        scene.settings.mode == MODE_CLAY, rows, interpret,
+        cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
+        n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
+        n_vol=scene.spheres.num_volumes, record=True, mix=mix,
+    )
+    fparams, scal, tens = _bvh_prep(sg(scene), width, height, mix, ())
+    *_outs, rec_raw = run_rec(iparams, fparams, scal, tens,
+                              ray_ids, px, py)
+    grid = rows // BLOCK_ROWS
+    rec = rec_raw.reshape(grid, max_depth, BLOCK_ROWS, BLOCK_COLS)
+    rec = rec.transpose(0, 2, 3, 1).reshape(rows * BLOCK_COLS,
+                                            max_depth)[:n_rays]
+
+    flat = lambda v: v.reshape(-1)[:n_rays]
+    from ..render.integrator import nee_stream
+
+    def occlude(point, d_l, b):
+        return occlusion_bvh(sg(scene), point, d_l,
+                             nee_stream(b, max_depth), iparams,
+                             flat(ray_ids), interpret=interpret)
+
+    from ..diff.replay import replay_radiance
+
+    radiance = replay_radiance(scene, rec, iparams, flat(ray_ids),
+                               flat(px), flat(py), width, height,
+                               env={"occlude": occlude})
+    radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
+    return radiance.reshape(p, n_local, 3).mean(axis=1)
+
+
 def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
                               height: int, iparams, *,
                               kinds: tuple | None = None,
@@ -3045,10 +3301,14 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
     sharding, parallel/distributed.py); the mean is over the LOCAL slice.
     """
     if _env_is_active(scene):
-        raise ValueError(
-            "env_importance_sampling: the Pallas kernels implement only "
-            "the naive escape-lookup estimator; use engine='xla' for the "
-            "one-sample-MIS sampler (render/integrator.py)")
+        # r4 hybrid: the record kernel drives the walk (the naive walk
+        # visits exactly the hits the MIS estimator shades), shadow rays
+        # run the occlusion kernel, and the differentiable XLA replay
+        # assembles the one-sample-MIS estimator
+        return _bvh_env_radiance(scene, pixel_ids, width, height, iparams,
+                                 kinds=kinds, interpret=interpret,
+                                 sample_offset=sample_offset,
+                                 n_samples=n_samples)
     cb = scene.cbvh
     if kinds is None:
         kinds = _bvh_kinds(scene)

@@ -139,6 +139,15 @@ def _render_pallas_bvh(scene: Scene, width: int, height: int, iparams,
 # engine="pallas" (which fails loudly at compile, never silently).
 TPU_MAX_BRUTE_TRIS = 1024
 
+# Env-importance-sampling dispatch threshold (r4, measured on v5e at
+# 128x128 spp8): the XLA integrator's MIS estimator beats the
+# record+occlusion+replay hybrid while its DENSE matmul intersector
+# applies (3 spheres: 3.5M vs 2.8M rays/s; 100: 2.3M vs 1.8M) and
+# collapses past its dense/BVH boundary (384 spheres: 0.025M vs the
+# hybrid's 1.67M = 65x).  The boundary is the integrator's own
+# BRUTE_FORCE_THRESHOLD (256 primitives).
+TPU_ENV_IS_MIN_PRIMS = 256
+
 
 def select_engine(scene: Scene, engine: str) -> str:
     """Resolve "auto" -> the MEASURED-fastest applicable engine on this
@@ -163,10 +172,15 @@ def select_engine(scene: Scene, engine: str) -> str:
     """
     if engine != "auto":
         return engine
-    from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, supports_bvh,
-                                         supports_fwd)
+    from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, _env_is_active,
+                                         supports_bvh, supports_fwd)
 
     if jax.devices()[0].platform == "cpu":
+        return "xla"
+    if (_env_is_active(scene)
+            and scene.num_primitives <= TPU_ENV_IS_MIN_PRIMS):
+        # small env-IS scenes: the XLA MIS estimator with its dense
+        # intersector is the measured winner (TPU_ENV_IS_MIN_PRIMS note)
         return "xla"
     brute_ok = (supports_fwd(scene)
                 and len(scene.triangles) <= TPU_MAX_BRUTE_TRIS)
