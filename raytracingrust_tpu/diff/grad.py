@@ -108,15 +108,12 @@ def make_loss(scene: Scene, target, width: int, height: int, *,
         # (monkey: 713K rays/s fwd+bwd) and at 28k tris (cool_cube: 1.93M);
         # shallow sphere-only scenes (the proven fused envelope, bench.py's
         # headline) keep the fused brute kernel.
-        from ..ops.pallas_megakernel import _env_is_active
-        from ..render.render import TPU_ENV_IS_MIN_PRIMS
+        from ..render.render import env_is_small
 
         on_tpu = _jax.devices()[0].platform != "cpu"
         fits = (supports(scene) and len(scene.triangles) == 0
                 and scene.settings.max_ray_depth <= UNROLL_MAX_DEPTH)
-        small_env = (_env_is_active(scene)
-                     and scene.num_primitives <= TPU_ENV_IS_MIN_PRIMS)
-        if not on_tpu or small_env:
+        if not on_tpu or env_is_small(scene):
             # small env-IS fits keep the XLA MIS estimator (the measured
             # winner below the dense-intersector boundary, render.py)
             engine = "xla"

@@ -105,11 +105,14 @@ def _mix_in_kernel_ok(scene: Scene) -> bool:
 def _env_is_active(scene: Scene) -> bool:
     """True when the scene actually USES the one-sample-MIS environment
     importance sampler (render/integrator.py:106-140): the flag is set AND
-    the background is an HDRI sky AND the mode shades materials.  Neither
-    Pallas kernel implements the NEE/MIS estimator — only the naive
-    escape-lookup — so env-IS scenes must keep the XLA engine or the
-    user's requested variance reduction silently would not happen
-    (VERDICT r3 missing #2)."""
+    the background is an HDRI sky AND the mode shades materials.
+
+    Routing (r4): the BRUTE kernel implements only the naive
+    escape-lookup estimator, so it refuses env-IS scenes outright; the
+    PACKET path serves them via the record + occlusion-kernel + MIS-
+    replay hybrid (_bvh_env_radiance), and dispatch picks hybrid vs the
+    XLA integrator by the measured dense-intersector boundary
+    (render.TPU_ENV_IS_MIN_PRIMS)."""
     return (
         scene.settings.env_importance_sampling
         and scene.background.kind == B.SKYMAP
@@ -2983,13 +2986,7 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
         fparams, scal, tens = prep(scene)
         *outs, rec = run_rec(iparams, fparams, scal, tens, ray_ids, px, py)
         primal = finish(scene, outs)
-        # (rows * depth, 256) bounce-on-sublanes records: grid step g owns
-        # rows [g*depth*8, (g+1)*depth*8), bounce b its rows [b*8, (b+1)*8)
-        # -> per-ray (n_rays, depth)
-        grid = rows // BLOCK_ROWS
-        rec = rec.reshape(grid, max_depth, BLOCK_ROWS, BLOCK_COLS)
-        rec = rec.transpose(0, 2, 3, 1).reshape(rows * BLOCK_COLS,
-                                                max_depth)[:n_rays]
+        rec = _bvh_rec_flat(rec, rows, max_depth, n_rays)
         return primal, (scene, rec, iparams, ray_ids, px, py)
 
     def radiance_bwd(res, ct):
@@ -3162,7 +3159,7 @@ def _occlusion_call(rows, interpret, n_sph_chunks, n_tri_chunks,
 
 
 def occlusion_bvh(scene: Scene, o, d, stream, iparams, ray_ids,
-                  interpret: bool = False):
+                  interpret: bool = False, prepped=None):
     """Shadow-ray occlusion test over the chunk trees -> (R,) bool.
 
     ``o``/``d``: (R, 3) ray origins/directions; ``stream``: the uniform
@@ -3170,13 +3167,17 @@ def occlusion_bvh(scene: Scene, o, d, stream, iparams, ray_ids,
     (the NEE stream of the bounce, matching the XLA integrator's
     ``closest_hit(..., un[:, 2:])``); ``ray_ids``: (R,) global ray ids.
     Inputs are treated as NON-differentiable (the result is a discrete
-    mask; callers stop_gradient the operands)."""
+    mask; callers stop_gradient the operands).  ``prepped``: optional
+    (scal, tens) node tables + NON-S2 chunk tensors already built by the
+    caller (the env hybrid packs once per step, not once per bounce)."""
     cb = scene.cbvh
     r = o.shape[0]
     pad = (-r) % BLOCK
-    def blk(v):
+
+    def blk(v, fill=0.0):
         if pad:
-            v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+            v = jnp.concatenate(
+                [v, jnp.full((pad,), fill, v.dtype)])
         return v.reshape(-1, BLOCK_COLS)
     rows = (r + pad) // BLOCK_COLS
 
@@ -3186,21 +3187,28 @@ def occlusion_bvh(scene: Scene, o, d, stream, iparams, ray_ids,
         n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
         n_vol=scene.spheres.num_volumes,
     )
-    scal, tens = [], []
-    if cb.n_sph_chunks:
-        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
-        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
-    if cb.n_vol_chunks:
-        scal += [cb.vol_nodes_f, cb.vol_nodes_i]
-        tens += list(_pack_vol_chunks(scene, cb.vol_perm))
-    if cb.n_tri_chunks:
-        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
-        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+    if prepped is None:
+        scal, tens = [], []
+        if cb.n_sph_chunks:
+            scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+            tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+        if cb.n_vol_chunks:
+            scal += [cb.vol_nodes_f, cb.vol_nodes_i]
+            tens += list(_pack_vol_chunks(scene, cb.vol_perm))
+        if cb.n_tri_chunks:
+            scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+            tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+    else:
+        scal, tens = prepped
     ip3 = jnp.concatenate([jnp.asarray(iparams, jnp.int32).reshape(-1)[:2],
                            jnp.asarray([stream], jnp.int32)])
+    # pad DIRECTIONS with 1.0: a zero-direction pad lane would slab-test
+    # as (lo - o) * inf -> every origin-straddling node "hits", dragging
+    # whole subtrees into the last block's leaf tests and breeding
+    # 0*inf NaNs (benign only by accident)
     out = run(ip3, tuple(scal), tuple(tens), blk(ray_ids),
               tuple(blk(o[:, i]) for i in range(3)),
-              tuple(blk(d[:, i]) for i in range(3)))
+              tuple(blk(d[:, i], fill=1.0) for i in range(3)))
     return out.reshape(-1)[:r] > 0.5
 
 
@@ -3230,6 +3238,32 @@ def _pick_gens(max_depth: int, n_rays: int, bg_kind: int) -> int:
     return p
 
 
+def _bvh_rec_flat(rec_raw, rows, max_depth, n_rays):
+    """(rows * depth, 256) record buffer -> per-ray (n_rays, depth):
+    grid step g owns rows [g*depth*8, (g+1)*depth*8), bounce b its rows
+    [b*8, (b+1)*8) (the record BlockSpec in _bvh_call)."""
+    grid = rows // BLOCK_ROWS
+    rec = rec_raw.reshape(grid, max_depth, BLOCK_ROWS, BLOCK_COLS)
+    return rec.transpose(0, 2, 3, 1).reshape(rows * BLOCK_COLS,
+                                             max_depth)[:n_rays]
+
+
+def _occlusion_prep(scene: Scene):
+    """(scal, tens) for :func:`occlusion_bvh` — the non-S2 chunk subset."""
+    cb = scene.cbvh
+    scal, tens = [], []
+    if cb.n_sph_chunks:
+        scal += [cb.sph_nodes_f, cb.sph_nodes_i]
+        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+    if cb.n_vol_chunks:
+        scal += [cb.vol_nodes_f, cb.vol_nodes_i]
+        tens += list(_pack_vol_chunks(scene, cb.vol_perm))
+    if cb.n_tri_chunks:
+        scal += [cb.tri_nodes_f, cb.tri_nodes_i]
+        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+    return scal, tens
+
+
 def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
                       iparams, *, kinds=None, interpret=False,
                       sample_offset=0, n_samples=None):
@@ -3239,7 +3273,17 @@ def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
 
     Differentiable in the full scene pytree (the replay is the primal;
     the two kernel passes consume DETACHED operands and produce discrete
-    outputs, so no custom AD rules are needed)."""
+    outputs, so no custom AD rules are needed).  TILED with lax.map over
+    pixel batches: the replay's sky-CDF inversion materializes
+    (tile_rays, sky_width) intermediates per bounce, so the tile size is
+    bounded by the HDRI width (a 512x512 spp8 frame against a 2k-wide
+    sky would otherwise OOM)."""
+    if scene.num_mesh_volumes > 0:
+        raise ValueError(
+            "env_importance_sampling + mesh-bounded volumes: the "
+            "occlusion kernel does not model stochastic fog shadowing; "
+            "use engine='xla' (supports_bvh refuses this combination — "
+            "only an explicit engine override reaches here)")
     sg = jax.lax.stop_gradient
     if kinds is None:
         kinds = _bvh_kinds(scene)
@@ -3247,41 +3291,64 @@ def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
     spp = scene.settings.samples_per_pixel
     max_depth = scene.settings.max_ray_depth
     p = pixel_ids.shape[0]
-    ray_ids, px, py, rows, n_rays = _prep_rays(pixel_ids, spp, width,
-                                               sample_offset, n_samples)
     n_local = n_samples if n_samples is not None else spp
     mix = bool(scene.materials.has_mix)
 
-    run_rec = _bvh_call(
-        max_depth, kinds, scene.background.kind,
-        scene.settings.mode == MODE_CLAY, rows, interpret,
-        cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
-        n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
-        n_vol=scene.spheres.num_volumes, record=True, mix=mix,
-    )
+    # pack ONCE per evaluation: the record operands (detached) and the
+    # occlusion operands (non-S2 subset, detached), shared by every tile
+    # and every bounce's shadow pass
     fparams, scal, tens = _bvh_prep(sg(scene), width, height, mix, ())
-    *_outs, rec_raw = run_rec(iparams, fparams, scal, tens,
-                              ray_ids, px, py)
-    grid = rows // BLOCK_ROWS
-    rec = rec_raw.reshape(grid, max_depth, BLOCK_ROWS, BLOCK_COLS)
-    rec = rec.transpose(0, 2, 3, 1).reshape(rows * BLOCK_COLS,
-                                            max_depth)[:n_rays]
+    occ_prep = _occlusion_prep(sg(scene))
 
-    flat = lambda v: v.reshape(-1)[:n_rays]
-    from ..render.integrator import nee_stream
-
-    def occlude(point, d_l, b):
-        return occlusion_bvh(sg(scene), point, d_l,
-                             nee_stream(b, max_depth), iparams,
-                             flat(ray_ids), interpret=interpret)
+    # tile size: bound the (tile_rays, sky_width) replay intermediates
+    # to ~64 MB f32
+    w_sky = int(scene.background.image.shape[1])
+    tile_rays = min(max((1 << 24) // max(w_sky, 64), BLOCK), 1 << 20)
+    tile_rays -= tile_rays % BLOCK
+    tile_pixels = max(1, tile_rays // max(n_local, 1))
+    n_tiles = -(-p // tile_pixels)
+    padded_p = n_tiles * tile_pixels
+    ids_pad = jnp.concatenate(
+        [pixel_ids, jnp.zeros((padded_p - p,), pixel_ids.dtype)]) \
+        if padded_p > p else pixel_ids
+    tiles = ids_pad.reshape(n_tiles, tile_pixels)
 
     from ..diff.replay import replay_radiance
+    from ..render.integrator import nee_stream
 
-    radiance = replay_radiance(scene, rec, iparams, flat(ray_ids),
-                               flat(px), flat(py), width, height,
-                               env={"occlude": occlude})
-    radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)
-    return radiance.reshape(p, n_local, 3).mean(axis=1)
+    def one_tile(tile_ids):
+        ray_ids, px, py, rows, n_rays = _prep_rays(
+            tile_ids, spp, width, sample_offset, n_samples)
+        run_rec = _bvh_call(
+            max_depth, kinds, scene.background.kind,
+            scene.settings.mode == MODE_CLAY, rows, interpret,
+            cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
+            n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
+            n_vol=scene.spheres.num_volumes, record=True, mix=mix,
+        )
+        *_outs, rec_raw = run_rec(iparams, fparams, scal, tens,
+                                  ray_ids, px, py)
+        rec = _bvh_rec_flat(rec_raw, rows, max_depth, n_rays)
+        flat = lambda v: v.reshape(-1)[:n_rays]
+
+        def occlude(point, d_l, b):
+            return occlusion_bvh(sg(scene), point, d_l,
+                                 nee_stream(b, max_depth), iparams,
+                                 flat(ray_ids), interpret=interpret,
+                                 prepped=occ_prep)
+
+        radiance = replay_radiance(scene, rec, iparams, flat(ray_ids),
+                                   flat(px), flat(py), width, height,
+                                   env={"occlude": occlude})
+        return radiance.reshape(tile_pixels, n_local, 3)
+
+    if n_tiles == 1:
+        per_px = one_tile(tiles[0])
+    else:
+        per_px = jax.lax.map(one_tile, tiles).reshape(
+            padded_p, n_local, 3)
+    radiance = jnp.clip(per_px, 0.0, scene.settings.clamp_indirect)
+    return radiance[:p].mean(axis=1)
 
 
 def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,

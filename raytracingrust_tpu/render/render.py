@@ -144,9 +144,20 @@ TPU_MAX_BRUTE_TRIS = 1024
 # record+occlusion+replay hybrid while its DENSE matmul intersector
 # applies (3 spheres: 3.5M vs 2.8M rays/s; 100: 2.3M vs 1.8M) and
 # collapses past its dense/BVH boundary (384 spheres: 0.025M vs the
-# hybrid's 1.67M = 65x).  The boundary is the integrator's own
-# BRUTE_FORCE_THRESHOLD (256 primitives).
-TPU_ENV_IS_MIN_PRIMS = 256
+# hybrid's 1.67M = 65x).  The boundary IS the integrator's own
+# dense-vs-BVH switch, so it is imported, not copied — retuning one
+# retunes the other.
+from .integrator import BRUTE_FORCE_THRESHOLD as TPU_ENV_IS_MIN_PRIMS
+
+
+def env_is_small(scene: Scene) -> bool:
+    """True when an env-importance-sampling scene should keep the XLA
+    integrator (shared by select_engine and diff.grad.make_loss so the
+    forward and fit policies cannot drift)."""
+    from ..ops.pallas_megakernel import _env_is_active
+
+    return (_env_is_active(scene)
+            and scene.num_primitives <= TPU_ENV_IS_MIN_PRIMS)
 
 
 def select_engine(scene: Scene, engine: str) -> str:
@@ -172,13 +183,12 @@ def select_engine(scene: Scene, engine: str) -> str:
     """
     if engine != "auto":
         return engine
-    from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, _env_is_active,
-                                         supports_bvh, supports_fwd)
+    from ..ops.pallas_megakernel import (UNROLL_MAX_DEPTH, supports_bvh,
+                                         supports_fwd)
 
     if jax.devices()[0].platform == "cpu":
         return "xla"
-    if (_env_is_active(scene)
-            and scene.num_primitives <= TPU_ENV_IS_MIN_PRIMS):
+    if env_is_small(scene):
         # small env-IS scenes: the XLA MIS estimator with its dense
         # intersector is the measured winner (TPU_ENV_IS_MIN_PRIMS note)
         return "xla"

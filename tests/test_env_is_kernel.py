@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from raytracingrust_tpu import (
+from raytracingrust_tpu import (  # noqa: F401
     Background,
     Camera,
     Lambertian,
@@ -115,8 +115,7 @@ def test_env_is_hybrid_grads_match_xla():
 
 def test_occlusion_kernel_matches_closest_hit():
     """The shadow kernel must agree with the XLA closest_hit the
-    integrator uses (any-hit beyond T_MIN, volume free-flight included
-    via the same NEE-stream uniform columns)."""
+    integrator uses (any-hit beyond T_MIN)."""
     from raytracingrust_tpu.render.integrator import closest_hit, nee_stream
     from raytracingrust_tpu.utils import rng
 
@@ -128,10 +127,98 @@ def test_occlusion_kernel_matches_closest_hit():
     o = jax.random.uniform(k1, (r, 3), minval=-2.0, maxval=2.0)
     d = jax.random.normal(k2, (r, 3))
     stream = nee_stream(0, scene.settings.max_ray_depth)
-    un = rng.ray_uniforms(key, ids, stream, 2)  # no volumes in scene
-    del un
     want = closest_hit(scene, o, d,
                        jnp.zeros((r, 0), jnp.float32)).hit
     got = PK.occlusion_bvh(scene, o, d, stream,
                            key.astype(jnp.int32), ids, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_occlusion_kernel_volume_free_flight():
+    """Volume spheres occlude STOCHASTICALLY: the kernel derives the
+    same NEE-stream free-flight uniform columns (2..) in-kernel that the
+    XLA integrator hands closest_hit (un[:, 2:]) — bitwise-equal
+    occlusion decisions per ray."""
+    from raytracingrust_tpu import Isotropic
+    from raytracingrust_tpu.render.integrator import closest_hit, nee_stream
+    from raytracingrust_tpu.utils import rng
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 1, 4), (0, 0.5, 0), (0, 1, 0),
+                             55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=1, max_ray_depth=3,
+                                env_importance_sampling=True)
+    iso = b.add_material(Isotropic((0.6, 0.6, 0.6)))
+    lam = b.add_material(Lambertian((0.7, 0.6, 0.5)))
+    vi = b.add_sphere((0, 0.5, 0), 1.0, iso)
+    b.add_volume(vi, 0.6)  # low density: many rays fly through
+    b.add_sphere((2, 0.5, 0), 0.4, lam)
+    b.background = Background.skymap_from_array(sun_sky())
+    scene = b.build(with_bvh=True)
+    assert scene.spheres.num_volumes == 1
+
+    r = 128
+    key = rng.base_key(5)
+    ids = jnp.arange(r, dtype=jnp.int32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    o = jax.random.uniform(k1, (r, 3), minval=-2.0, maxval=2.0)
+    d = jax.random.normal(k2, (r, 3))
+    stream = nee_stream(1, scene.settings.max_ray_depth)
+    un = rng.ray_uniforms(key, ids, stream, 2 + 1)
+    want = closest_hit(scene, o, d, un[:, 2:]).hit
+    got = PK.occlusion_bvh(scene, o, d, stream,
+                           key.astype(jnp.int32), ids, interpret=True)
+    # both occluded and unoccluded rays must exist, else the test is vacuous
+    assert np.asarray(want).any() and not np.asarray(want).all()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_env_is_hybrid_tiling():
+    """A wide HDRI shrinks the replay tile (the (tile_rays, sky_width)
+    CDF intermediates are memory-bounded); a multi-tile render must
+    agree with XLA exactly like the single-tile path."""
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 1.2, 4), (0, 0.6, 0), (0, 1, 0),
+                             55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=3,
+                                env_importance_sampling=True)
+    lam = b.add_material(Lambertian((0.7, 0.6, 0.5)))
+    b.add_sphere((0, -100, 0), 100.0, lam)
+    b.add_sphere((0, 0.5, 0), 0.5, lam)
+    wide = np.full((4, 8192, 3), 0.05, np.float32)
+    wide[1, 100:140] = 40.0
+    b.background = Background.skymap_from_array(wide)
+    scene = b.build(with_bvh=True)
+    # 24x24 spp4 = 2304 rays; tile_rays = 2^24/8192 = 2048 -> 2+ tiles
+    xla = np.asarray(render_linear(scene, 24, 24, seed=0, engine="xla"))
+    hyb = np.asarray(render_linear(scene, 24, 24, seed=0,
+                                   engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, hyb, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.1, f"{mismatched:.4f} channels differ"
+
+
+def test_env_is_mesh_volume_combo_fails_loudly():
+    """supports_bvh refuses env-IS + mesh volumes (the occlusion kernel
+    has no stochastic fog model); an explicit engine override must raise,
+    never silently drop the fog."""
+    from raytracingrust_tpu import Isotropic
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    c = np.zeros(3, np.float32)
+    v = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                  for z in (-1, 1)], np.float32) + c
+    f = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    b = SceneBuilder()
+    b.settings = RenderSettings(samples_per_pixel=2, max_ray_depth=3,
+                                env_importance_sampling=True)
+    iso = b.add_material(Isotropic((0.5, 0.5, 0.5)))
+    mi = b.add_mesh(Mesh.from_buffers(v, v, f, iso))
+    b.add_volume(mi, 1.0)
+    b.background = Background.skymap_from_array(sun_sky())
+    scene = b.build(with_bvh=True)
+    assert not PK.supports_bvh(scene)
+    with pytest.raises(ValueError, match="mesh-bounded volumes"):
+        PK._bvh_env_radiance(scene, jnp.arange(4, dtype=jnp.int32), 2, 2,
+                             jnp.zeros(2, jnp.int32), interpret=True)
