@@ -175,6 +175,10 @@ def select_engine(scene: Scene, engine: str) -> str:
       11.3M vs 15.3M);
     * brute kernel as fallback for scenes the BVH kernel rejects (nested
       mixes, no cbvh built) within its own measured-safe envelope;
+    * env-importance-sampling scenes: the XLA MIS estimator below the
+      dense-intersector boundary (TPU_ENV_IS_MIN_PRIMS), the packet
+      path's record+occlusion+replay hybrid above it (65x at 384
+      spheres);
     * XLA wavefront for everything else.
 
     Explicit engine names pass through.  "auto" picks a Pallas engine only
