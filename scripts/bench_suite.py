@@ -200,6 +200,31 @@ def main():
         engine_rows("mesh_render_cool_cube_256", b.build(with_bvh=True),
                     256, 256)
 
+    if "env_is_render" not in args.skip:
+        from raytracingrust_tpu import Background, Camera, Metal
+
+        # HDRI importance sampling past the XLA dense-intersector cliff
+        # (r4 hybrid; docs/performance.md "HDRI importance sampling")
+        img = np.full((16, 32, 3), 0.05, np.float32)
+        img[2:4, 5:8] = 25.0
+        b = SceneBuilder()
+        b.camera = Camera.create((8, 7, 10), (0, 0, 0), (0, 1, 0),
+                                 50.0, 1.0)
+        b.settings = RenderSettings(samples_per_pixel=8, max_ray_depth=4,
+                                    env_importance_sampling=True)
+        from raytracingrust_tpu import Lambertian
+        lam = b.add_material(Lambertian((0.7, 0.6, 0.5)))
+        met = b.add_material(Metal((0.9, 0.9, 0.9), 0.1))
+        rs = np.random.RandomState(0)
+        for i in range(8):
+            for j in range(6):
+                for k in range(8):
+                    b.add_sphere(((i - 3.5) * 1.1, (j - 2.5) * 1.1,
+                                  (k - 3.5) * 1.1), 0.4,
+                                 (lam, met)[rs.randint(2)])
+        b.background = Background.skymap_from_array(img)
+        engine_rows("env_is_384sph_128", b.build(with_bvh=True), 128, 128)
+
     # --- headline fwd+bwd (delegates to bench.py logic)
     if "fwd_bwd" not in args.skip:
         import bench as bench_mod
