@@ -222,3 +222,44 @@ def test_env_is_mesh_volume_combo_fails_loudly():
     with pytest.raises(ValueError, match="mesh-bounded volumes"):
         PK._bvh_env_radiance(scene, jnp.arange(4, dtype=jnp.int32), 2, 2,
                              jnp.zeros(2, jnp.int32), interpret=True)
+
+
+def test_env_is_hybrid_triangles_match_xla():
+    """Triangle scenes through the hybrid: the record walk, the
+    occlusion kernel's tri-tree pass, and the replay's recorded-triangle
+    shading all under NEE."""
+    from raytracingrust_tpu.models.mesh import Mesh
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 2.5, 4), (0, 0, 0), (0, 1, 0),
+                             55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=3,
+                                env_importance_sampling=True)
+    lam = b.add_material(Lambertian((0.6, 0.5, 0.3)))
+    n_side = 5
+    xs = np.linspace(-2, 2, n_side + 1, dtype=np.float32)
+    gx, gz = np.meshgrid(xs, xs, indexing="ij")
+    gy = 0.3 * np.sin(gx * 2.1) * np.cos(gz * 1.7)
+    verts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
+    faces = []
+    for i in range(n_side):
+        for j in range(n_side):
+            a = i * (n_side + 1) + j
+            bq = a + 1
+            c = a + (n_side + 1)
+            dd = c + 1
+            faces.append([a, bq, c])
+            faces.append([bq, dd, c])
+    b.add_mesh(Mesh.from_buffers(verts, verts,
+                                 np.asarray(faces, np.int32), lam))
+    b.add_sphere((0.6, 1.2, 0.0), 0.4, lam)
+    b.background = Background.skymap_from_array(sun_sky())
+    scene = b.build(with_bvh=True)
+    assert PK.supports_bvh(scene) and len(scene.triangles) == 50
+
+    xla = np.asarray(render_linear(scene, 10, 10, seed=0, engine="xla"))
+    hyb = np.asarray(render_linear(scene, 10, 10, seed=0,
+                                   engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, hyb, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.1, f"{mismatched:.4f} channels differ"
+    assert np.abs(xla - hyb).mean() < 1e-2
