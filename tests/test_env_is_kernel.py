@@ -263,3 +263,17 @@ def test_env_is_hybrid_triangles_match_xla():
     mismatched = (~np.isclose(xla, hyb, atol=1e-4, rtol=1e-3)).mean()
     assert mismatched <= 0.1, f"{mismatched:.4f} channels differ"
     assert np.abs(xla - hyb).mean() < 1e-2
+
+
+def test_env_is_hybrid_multihost_bitwise():
+    """The hybrid composes with the distributed layer: sharded over an
+    8-device mesh it is bitwise identical to the single-device render
+    (global ray ids key every draw, incl. the NEE stream and the
+    occlusion kernel's in-kernel volume uniforms)."""
+    from raytracingrust_tpu.parallel import distributed as dist
+
+    s = env_scene(spp=4, depth=3)
+    ref = np.asarray(render_linear(s, 11, 5, seed=3,
+                                   engine="pallas_bvh"))
+    out = dist.render_multihost(s, 11, 5, seed=3, engine="pallas_bvh")
+    np.testing.assert_array_equal(out, ref)
