@@ -104,6 +104,12 @@ class MaterialTable:
     # static set of material kinds present: the shader compiles only the
     # lobes a scene actually uses (e.g. no cbrt unless an Isotropic exists)
     kinds_present: tuple = static_field(default=(0, 1, 2, 3, 4))
+    # number of HANDLE rows (the reference's Vec<Box<dyn Material>> length,
+    # lib/core/scene.rs:38): rows [0, num_handles) are addressable by
+    # objects; mix-child rows live after.  Serialization emits exactly
+    # these rows — including trailing materials no object references
+    # (-1 = legacy tables built before this field; fall back to max+1)
+    num_handles: int = static_field(default=-1)
 
     def __len__(self):
         return self.kind.shape[0]
@@ -163,6 +169,7 @@ def build_table(materials: Sequence[AnyMaterial]) -> MaterialTable:
 
     f32 = np.float32
     return MaterialTable(
+        num_handles=len(materials),
         has_mix=any(r["kind"] == MIX for r in rows),
         kinds_present=tuple(sorted({r["kind"] for r in rows} - {MIX})),
         kind=jnp.asarray([r["kind"] for r in rows], jnp.int32),

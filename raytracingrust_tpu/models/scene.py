@@ -303,12 +303,16 @@ class Scene:
         radii = np.asarray(self.spheres.radius)
         smat = np.asarray(self.spheres.material)
 
-        # serialize only the HANDLE rows (what objects reference); mix
-        # children live AFTER the handle rows (build_table appends them)
-        # and appear inline inside their parent's MixMaterial JSON only —
-        # emitting them standalone too would re-append fresh child rows
-        # on every save->load cycle and bloat the table monotonically
-        n_handles = int(smat.max()) + 1 if smat.size else len(kind)
+        # serialize only the HANDLE rows (the full Vec the reference
+        # serializes, lib/core/scene.rs:38 — including trailing materials
+        # no object references); mix children live AFTER the handle rows
+        # (build_table appends them) and appear inline inside their
+        # parent's MixMaterial JSON only — emitting them standalone too
+        # would re-append fresh child rows on every save->load cycle and
+        # bloat the table monotonically
+        n_handles = self.materials.num_handles
+        if n_handles < 0:  # legacy table without the count: best effort
+            n_handles = int(smat.max()) + 1 if smat.size else len(kind)
         materials = [material_to_json(mat(i)) for i in range(n_handles)]
         nid = np.asarray(self.spheres.neg_inv_density)
         objs = []

@@ -211,6 +211,32 @@ def test_scene_save_mix_table_stable(tmp_path):
     np.testing.assert_array_equal(a, c)
 
 
+def test_scene_save_trailing_unreferenced_materials(tmp_path):
+    """The FULL material Vec round-trips — including trailing materials no
+    object references (the reference serializes the whole
+    Vec<Box<dyn Material>>, lib/core/scene.rs:38; r4 dropped rows past
+    the highest referenced handle)."""
+    from raytracingrust_tpu import Lambertian, Metal, SceneBuilder
+    from raytracingrust_tpu.models.scene import load_scene
+
+    b = SceneBuilder()
+    used = b.add_material(Lambertian((0.5, 0.5, 0.5)))
+    b.add_sphere((0, 0, -2), 0.5, used)
+    spare = b.add_material(Metal((0.9, 0.8, 0.7), 0.25))  # never referenced
+    scene = b.build(with_bvh=False)
+
+    p = tmp_path / "trailing.json"
+    scene.save(str(p))
+    again = load_scene(str(p), with_bvh=False)
+    assert again.materials.num_handles == spare + 1
+    assert int(again.materials.kind[spare]) == int(scene.materials.kind[spare])
+    np.testing.assert_allclose(np.asarray(again.materials.albedo[spare]),
+                               np.asarray(scene.materials.albedo[spare]))
+    a = np.asarray(render_linear(scene, 8, 8, seed=0))
+    c = np.asarray(render_linear(again, 8, 8, seed=0))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_skymap_without_path_fails_loudly(tmp_path):
     """An array-built skymap has no source path; saving must raise here
     rather than write JSON that load_scene cannot read back."""
