@@ -167,6 +167,7 @@ def cmd_fit(args) -> int:
         scene, target, args.params.split(","), w, h,
         steps=args.steps, learning_rate=args.lr, engine=args.engine,
         checkpoint_path=args.checkpoint, callback=log,
+        sharded=args.sharded,
     )
     print(f"final loss {history[-1]:.6f}")
     for name, value in params.items():
@@ -257,6 +258,10 @@ def main(argv=None) -> int:
     pf.add_argument("--env-is", action="store_true",
                     help="importance-sample the HDRI environment in the "
                          "loss (one-sample MIS)")
+    pf.add_argument("--sharded", action="store_true",
+                    help="data-parallel fit over all visible devices: rays "
+                         "sharded, params replicated, gradient psum over "
+                         "ICI (diff.inverse.fit(sharded=True))")
     pf.set_defaults(fn=cmd_fit)
 
     pv = sub.add_parser("view", help="interactive web viewer "

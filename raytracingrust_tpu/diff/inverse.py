@@ -35,6 +35,8 @@ def fit(
     constraints: dict | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 25,
+    mesh=None,
+    sharded: bool = False,
 ):
     """Optimize ``names`` parameters of ``scene`` to match ``target``.
 
@@ -52,8 +54,20 @@ def fit(
     (e.g. albedo in [0,1], fuzz >= 0).
     ``checkpoint_path``: when set, the optimizer state is periodically saved
     there and a matching existing checkpoint resumes the run mid-flight.
+    ``mesh`` / ``sharded``: run the loss data-parallel over a device mesh
+    (rays sharded, scene + params replicated, gradient psum over ICI —
+    diff.grad._make_loss_sharded).  ``sharded=True`` builds a 1-D mesh
+    over all visible devices; pass ``mesh=`` for explicit topologies.
+    The optimizer update itself is elementwise over replicated params, so
+    the whole jitted step stays collective-correct.  Counter-based RNG
+    makes the sharded trajectory match the single-device one to f32
+    reduction order (tests/test_sharded_fit.py).
     """
     from ..utils import rng
+
+    if sharded and mesh is None:
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh()
 
     names = list(names)
     params = extract_params(scene, names)
@@ -70,7 +84,7 @@ def fit(
             start_step = int(state["step"])
 
     loss_fn = make_loss(scene, target, width, height, seed=seed,
-                        engine=engine)
+                        engine=engine, mesh=mesh)
 
     @jax.jit
     def step(params, opt_state, key):
