@@ -39,6 +39,128 @@ def build_scene(path: str, spp: int, depth: int):
     return b.build()
 
 
+def run_parity(scene):
+    """ON-CHIP kernel-vs-XLA correctness bits (VERDICT r4 missing #5).
+
+    All parity/FD tests in tests/ run the kernels in CPU interpret mode;
+    this asserts numerical agreement on the REAL device the bench ran on.
+    Two criteria, calibrated to what f32 path tracing can actually promise
+    (measured r5, docs/performance.md "hardware parity"):
+
+      * DEPTH-1 BITWISE: with a 1-bounce chain no scattered ray exists, so
+        camera, intersection, emission and background must agree exactly —
+        any hardware miscompile of the RNG, the winner chain, or the
+        material table flips this bit.
+      * DISTRIBUTION at full depth: deep chains amplify the engines'
+        differing-but-equal-magnitude f32 quadratic roundings (both forms
+        carry ~|c|^2*eps cancellation on the |c|~100 ground sphere — the
+        reference's own f32 math has the same noise, lib/objects.rs:22-51)
+        into ~1%-per-bounce discrete path flips, so bitwise comparison is
+        meaningless; instead the CROSS-ENGINE error must not exceed the
+        CROSS-SEED Monte-Carlo noise of the estimator itself (x1.5): the
+        engines sample the same distribution.
+      * GRADIENT vs FINITE DIFFERENCES of the kernel's OWN primal, on
+        chip: a directional central-difference probe of the FUSED
+        render->MSE->grad kernel AND of the packet-BVH record+replay path
+        (a small triangle scene).  This is the r2-collapse lesson encoded:
+        the custom_vjp backward must match what the hardware kernel's
+        forward actually computes — cross-engine grad comparison would
+        only re-measure the flip-rate mismatch above (each engine's AD is
+        exact for its own primal; the formulations' self-hit flip RATES
+        differ systematically, measured r5 at 4-7x the reseed noise on
+        background/albedo cotangents).
+
+    Returns {"fwd": bool, "grad": bool}.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracingrust_tpu.diff.grad import extract_params, make_loss
+    from raytracingrust_tpu.render.render import render_linear
+    from raytracingrust_tpu.utils import rng
+
+    w, h = 48, 32
+    # depth-1: no scatter chain -> exact agreement required
+    s1 = dataclasses.replace(
+        scene, settings=dataclasses.replace(scene.settings, max_ray_depth=1))
+    p1 = np.asarray(render_linear(s1, w, h, seed=11, engine="pallas"))
+    x1 = np.asarray(render_linear(s1, w, h, seed=11, engine="xla"))
+    fwd_ok = bool((p1 == x1).all())
+
+    # full depth: cross-engine diff bounded by cross-seed MC noise
+    pw = np.asarray(render_linear(scene, w, h, seed=11, engine="pallas"))
+    xa = np.asarray(render_linear(scene, w, h, seed=11, engine="xla"))
+    xb = np.asarray(render_linear(scene, w, h, seed=12, engine="xla"))
+    mad_engine = float(np.abs(pw - xa).mean())
+    mad_seed = float(np.abs(xa - xb).mean())
+    fwd_ok = fwd_ok and (mad_engine <= 1.5 * mad_seed + 1e-6)
+
+    def fd_ok(loss, params, *, eps=1e-3, rtol=0.05):
+        """AD directional derivative == central FD of the same loss
+        (fixed key -> smooth in albedo/emission/bg; f32 loss noise ~1e-7
+        vs FD numerators ~1e-4)."""
+        key = rng.base_key(3)
+        gen = np.random.default_rng(0)
+        v = {k: jnp.asarray(gen.standard_normal(np.shape(p)), jnp.float32)
+             for k, p in params.items()}
+        _, g = jax.value_and_grad(loss)(params, key)
+        ad = sum(float(jnp.vdot(g[k], v[k])) for k in params)
+        plus = {k: params[k] + eps * v[k] for k in params}
+        minus = {k: params[k] - eps * v[k] for k in params}
+        fd = (float(loss(plus, key)) - float(loss(minus, key))) / (2 * eps)
+        return bool(abs(ad - fd) <= rtol * max(abs(fd), 1e-6))
+
+    target = jnp.asarray(xa) * 0.9
+    params = extract_params(scene, ("albedo", "emission", "bg_color_a"))
+    grad_ok = fd_ok(
+        make_loss(scene, target, w, h, seed=0, engine="pallas"), params)
+
+    # record+replay path: a small triangle scene through the packet-BVH
+    # kernel's custom_vjp (the engine auto would also pick on TPU)
+    ts = _parity_tri_scene()
+    t_img = np.asarray(render_linear(ts, 32, 24, seed=5,
+                                     engine="pallas_bvh"))
+    t_params = extract_params(ts, ("albedo", "bg_color_a"))
+    grad_ok = grad_ok and fd_ok(
+        make_loss(ts, jnp.asarray(t_img) * 0.9, 32, 24, seed=0,
+                  engine="pallas_bvh"), t_params)
+    return {"fwd": fwd_ok, "grad": bool(grad_ok)}
+
+
+def _parity_tri_scene():
+    """Tiny self-contained mesh scene for the on-chip record+replay FD
+    probe: an 8-triangle fan over a ground sphere, gradient background
+    (so bg gradients flow), depth 4."""
+    import numpy as np
+
+    from raytracingrust_tpu import (Background, Camera, Lambertian, Mesh,
+                                    Metal, RenderSettings, SceneBuilder)
+
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 0.4, 1.6), (0, 0.1, -1), (0, 1, 0),
+                             60.0, 4 / 3)
+    b.settings = RenderSettings(samples_per_pixel=4, max_ray_depth=4)
+    b.background = Background.gradient((0.9, 0.9, 1.0), (0.4, 0.55, 0.9))
+    ml = b.add_material(Lambertian((0.7, 0.35, 0.2)))
+    mm = b.add_material(Metal((0.85, 0.85, 0.9), 0.15))
+    mg = b.add_material(Lambertian((0.5, 0.6, 0.3)))
+    n = 9
+    ang = np.linspace(0, 2 * np.pi, n, dtype=np.float32)
+    rim = np.stack([0.7 * np.cos(ang), 0.25 + 0.12 * np.sin(3 * ang),
+                    -1.0 + 0.7 * np.sin(ang)], axis=1)
+    verts = np.concatenate([[[0, 0.45, -1.0]], rim]).astype(np.float32)
+    faces = np.stack([np.zeros(n - 1, np.int32),
+                      np.arange(1, n, dtype=np.int32),
+                      1 + (np.arange(1, n, dtype=np.int32) % (n - 1))], -1)
+    b.add_mesh(Mesh.from_buffers(verts, verts, faces, ml))
+    b.add_sphere((0, -100.35, -1), 100.0, mg)
+    b.add_sphere((0.55, 0.0, -0.6), 0.18, mm)
+    return b.build(with_bvh=True)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/root/reference/scenes/benchmark.json")
@@ -51,6 +173,8 @@ def main(argv=None) -> int:
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "pallas", "xla"])
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the on-chip kernel-vs-XLA parity check")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu); note the env var "
                          "JAX_PLATFORMS is ignored by the axon TPU plugin")
@@ -145,6 +269,10 @@ def main(argv=None) -> int:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / floor, 2) if floor else None,
     }
+    if not args.no_parity:
+        # hardware correctness bit riding the artifact of record: the
+        # kernels agree with XLA ON THIS DEVICE, not just in interpret mode
+        result["parity"] = run_parity(scene)
     print(json.dumps(result))
     return 0
 

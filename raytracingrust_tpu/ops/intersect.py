@@ -59,6 +59,56 @@ def _dotT(a, b):
     return jnp.dot(a, b.T, precision=jax.lax.Precision.HIGHEST)
 
 
+# --- compensated f32 (Dekker/Veltkamp, no fma needed) -----------------------
+#
+# The expanded sphere quadratic needs the PER-SPHERE constant
+# cc_rr = |c|^2 - r^2.  Naive f32 rounds |c|^2 at |c|^2 * eps — ~6e-4
+# absolute for the RTiOW ground sphere (|c| ~ 100.5, r = 100) — a CONSTANT
+# bias that lands exactly at the t ~ tmin = 1e-5 self-intersection decision
+# scale once a bounced ray re-tests its own sphere.  Measured on v5e (r5):
+# that bias systematically shifts the dense path's escape rate vs the
+# direct-form kernels — background/albedo gradients disagreed by 7x the
+# Monte-Carlo reseed noise.  Computing the constant with exact two-products
+# and two-sums (costs a handful of VPU ops per SPHERE, not per ray) removes
+# the bias; the remaining per-ray terms only round at |o||c| * eps ~ 1e-5.
+
+def _split_f32(x):
+    """Veltkamp split: x == hi + lo with 12-bit-mantissa halves (exact)."""
+    c = x * jnp.float32(4097.0)  # 2^12 + 1
+    hi = c - (c - x)
+    return hi, x - hi
+
+
+def _two_prod(x, y):
+    """(p, e) with p = fl(x*y) and p + e == x*y exactly."""
+    p = x * y
+    xh, xl = _split_f32(x)
+    yh, yl = _split_f32(y)
+    e = ((xh * yh - p) + xh * yl + xl * yh) + xl * yl
+    return p, e
+
+
+def _two_sum(a, b):
+    """(s, e) with s = fl(a+b) and s + e == a + b exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _cc_rr_compensated(center, radius):
+    """|c|^2 - r^2 as a (hi, lo) f32 pair accurate to ~|result| * eps."""
+    s0, e0 = _two_prod(center[:, 0], center[:, 0])
+    s1, e1 = _two_prod(center[:, 1], center[:, 1])
+    s2, e2 = _two_prod(center[:, 2], center[:, 2])
+    rr, er = _two_prod(radius, radius)
+    t01, g01 = _two_sum(s0, s1)
+    t012, g012 = _two_sum(t01, s2)
+    hi, g_r = _two_sum(t012, -rr)
+    lo = ((e0 + e1 + e2) - er) + ((g01 + g012) + g_r)
+    return hi, lo
+
+
 # ------------------------------------------------------------------ spheres
 
 def sphere_ts(spheres, o, d, u_vol, tmin, tmax):
@@ -79,10 +129,13 @@ def sphere_ts(spheres, o, d, u_vol, tmin, tmax):
     cd = _dotT(d, spheres.center)                             # (R, N) MXU
     oc = _dotT(o, spheres.center)                             # (R, N) MXU
     oo = vec.length_squared(o)[:, None]                       # (R, 1)
-    cc_rr = vec.length_squared(spheres.center) - r_ * r_      # (N,)
+    # per-sphere constant in COMPENSATED f32: the naive form's constant
+    # rounding bias systematically flips t~tmin self-intersections
+    # (see _cc_rr_compensated)
+    cc_hi, cc_lo = _cc_rr_compensated(spheres.center, r_)     # (N,), (N,)
 
     half_b = od - cd
-    c_quad = oo - 2.0 * oc + cc_rr[None, :]
+    c_quad = (oo - 2.0 * oc + cc_hi[None, :]) + cc_lo[None, :]
     disc = half_b * half_b - a * c_quad
     ok = disc >= 0.0
     # double-where: sqrt'(0) = inf would poison reverse-mode AD on the
