@@ -36,6 +36,219 @@ from ..utils import rng, vec
 from ..utils.types import T_MIN
 
 
+def replay_rows_radiance(scene: Scene, tens, rec_raw, key_words, ray_ids,
+                         px, py, width: int, height: int, *, rows: int,
+                         max_depth: int, n_sph_chunks: int,
+                         n_tri_chunks: int, interpret: bool,
+                         clay: bool = False, group: int = 10):
+    """Gather-free differentiable replay over KERNEL-FETCHED winner rows.
+
+    The classic :func:`replay_radiance` fetches each recorded winner's
+    constants with table gathers — ~7 ns/element scalar loops on TPU that
+    dominated BVH-class fit steps (376 ms of a 728 ms monkey-d50 step,
+    docs/performance.md r5).  Here the winner rows are materialized by the
+    Pallas fetch kernel (ops.pallas_megakernel._fetch_rows_cvjp — VMEM
+    one-hot matmuls, custom_vjp'd so row cotangents scatter back onto the
+    chunk matrices in-kernel), and this function is PURE ELEMENTWISE XLA:
+    per bounce it slices the fetched slab, recomputes the winner's
+    t/normal in replay_radiance's exact op order, and shades with the
+    recorded branch bits.
+
+    ``tens``: the differentiable chunk matrices ([sph_s][, tri_g, tri_s]
+    from _bvh_prep) — material/geometry cotangents flow through the fetch;
+    camera/background cotangents flow through ``scene`` directly.
+    ``rec_raw``: the record kernel's (rows * max_depth, 256) buffer.
+    ``group``: bounces per fetch-kernel launch (bounds the slab to
+    rows * group * 26 * 1 KB of HBM).
+
+    Gate (callers): non-mix, no volumes, no mesh volumes, UNIFORM/GRADIENT
+    background.  Reference semantics per bounce: trace_ray
+    (lib/core/render.rs:32-59) with hits pinned by the records.
+    """
+    from ..ops.pallas_megakernel import (_BS_AL, _BS_DIE, _BS_EM, _BS_EMI,
+                                         _BS_FUZZ, _BS_GEO, _BS_IR,
+                                         _BS_LAM, _BS_MET, _BS_RAD,
+                                         _TG_E1, _TG_E2, _TG_V0, BVH_LEAF,
+                                         FETCH_F, FETCH_GEO0,
+                                         _fetch_rows_cvjp,
+                                         _fetch_wide_tabs)
+
+    key = jnp.asarray(key_words).astype(jnp.uint32)
+    n_rays = ray_ids.shape[0]
+    grid_i = rows // 8
+    sph_span = n_sph_chunks * BVH_LEAF
+    F = FETCH_F if n_tri_chunks else 16
+    has_sph = n_sph_chunks > 0
+    has_tri = n_tri_chunks > 0
+    wide_tabs, (sph_span_p, tri_span_p) = _fetch_wide_tabs(
+        tens, n_sph_chunks, n_tri_chunks)
+
+    inv_w = 1.0 / (width - 1)
+    inv_h = 1.0 / (height - 1)
+    j = rng.ray_uniforms(key, ray_ids, 0, 2)
+    s = (px + j[:, 0]) * inv_w
+    t = (py + j[:, 1]) * inv_h
+    o, d = scene.camera.get_rays(s, t)
+
+    thr = jnp.ones_like(o)
+    rad = jnp.zeros_like(o)
+    alive = jnp.ones(o.shape[:-1], bool)
+
+    rec_view = rec_raw.reshape(grid_i, max_depth, 8, 256)
+
+    def rec_col(b):
+        return rec_view[:, b].reshape(-1)[:n_rays]
+
+    slab = None
+    slab_b0 = -1
+    for b in range(max_depth):
+        if slab is None or b >= slab_b0 + slab.shape[1]:
+            nb = min(group, max_depth - b)
+            fetch = _fetch_rows_cvjp(rows, nb, sph_span, sph_span_p,
+                                     tri_span_p, interpret)
+            rec_g = rec_view[:, b:b + nb].reshape(-1, 256)
+            slab = fetch(rec_g, *wide_tabs).reshape(grid_i, nb, F,
+                                                    8 * 256)
+            slab_b0 = b
+
+        def fld(jf, b=b):
+            return slab[:, b - slab_b0, jf].reshape(-1)[:n_rays]
+
+        raw = rec_col(b)
+        hit = alive & (raw >= 0)
+        front = ((raw >> 27) & 1) == 1
+        m_ok = ((raw >> 28) & 1).astype(bool)
+        refl = ((raw >> 29) & 1).astype(bool)
+        code = jnp.where(hit, raw & ((1 << 27) - 1), -1)
+        is_sph = hit & (code >= 0) & (code < sph_span)
+        is_tri = hit & (code >= sph_span)
+
+        a = vec.length_squared(d)
+        t_hit = jnp.ones(code.shape, jnp.float32)
+        gx, gy, gz = fld(_BS_GEO + 0), fld(_BS_GEO + 1), fld(_BS_GEO + 2)
+        if has_sph:
+            r_s = fld(_BS_RAD)
+            c3 = jnp.stack([gx, gy, gz], axis=-1)
+            oc = o - c3
+            hb = vec.dot(oc, d)
+            cq = vec.length_squared(oc) - r_s * r_s
+            disc = hb * hb - a * cq
+            dsafe = jnp.where(is_sph, jnp.maximum(disc, 1e-24), 1.0)
+            sq = jnp.sqrt(dsafe)
+            t1 = (-hb - sq) / a
+            t2 = (-hb + sq) / a
+            t_s = jnp.where(t1 >= T_MIN, t1, t2)
+            t_hit = jnp.where(is_sph, t_s, t_hit)
+        if has_tri:
+            v0 = jnp.stack([fld(FETCH_GEO0 + _TG_V0 + k)
+                            for k in range(3)], axis=-1)
+            e1 = jnp.stack([fld(FETCH_GEO0 + _TG_E1 + k)
+                            for k in range(3)], axis=-1)
+            e2 = jnp.stack([fld(FETCH_GEO0 + _TG_E2 + k)
+                            for k in range(3)], axis=-1)
+            h = vec.cross(d, e2)
+            at = vec.dot(e1, h)
+            f = 1.0 / jnp.where(jnp.abs(at) > TRI_DET_EPS, at, 1.0)
+            sv = o - v0
+            q = vec.cross(sv, e1)
+            t_t = f * vec.dot(e2, q)
+            t_hit = jnp.where(is_tri, t_t, t_hit)
+
+        t_safe = jnp.where(hit, t_hit, 1.0)
+        point = o + t_safe[:, None] * d
+        g3 = jnp.stack([gx, gy, gz], axis=-1)
+        if has_sph:
+            r_div = jnp.where(is_sph & (r_s > 0.0), r_s, 1.0)
+            n_out = jnp.where(is_sph[:, None],
+                              (point - g3) / r_div[:, None], g3)
+        else:
+            n_out = g3
+
+        missed = alive & (raw < 0)
+        bg_rad = scene.background.sample(d)
+        rad = rad + jnp.where(missed[:, None], thr * bg_rad, 0.0)
+
+        n = jnp.where(front[:, None], n_out, -n_out)
+        # MISS lanes fetch all-zero rows (the classic replay's clamped
+        # gathers read real rows instead): substitute a unit normal so
+        # normalize/refract junk math on dead lanes can never emit a NaN
+        # whose zero-cotangent product poisons the vjp
+        n = jnp.where(hit[:, None], n,
+                      jnp.array([0.0, 0.0, 1.0], jnp.float32))
+        u = rng.ray_uniforms(key, ray_ids, 1 + b, 4)
+        u1, u2, u_coin, u_r = u[:, 0], u[:, 1], u[:, 2], u[:, 3]
+        sphere_dir = rng.unit_sphere_surface(u1, u2)
+
+        if clay:
+            lam_dir = n + sphere_dir
+            lam_dir = jnp.where(vec.near_zero(lam_dir)[..., None], n,
+                                lam_dir)
+            atten = jnp.full(n.shape, 0.8)
+            new_dir = lam_dir
+            scatters = jnp.ones(code.shape, bool)
+        else:
+            albedo = jnp.stack([fld(_BS_AL + k) for k in range(3)],
+                               axis=-1)
+            emission = jnp.stack([fld(_BS_EM + k) for k in range(3)],
+                                 axis=-1)
+            fuzz = fld(_BS_FUZZ)
+            # miss lanes fetch all-zero rows: guard ir (see shade_ops)
+            ir_row = fld(_BS_IR)
+            ir = jnp.where(ir_row > 0.0, ir_row, 1.0)
+            is_lam = fld(_BS_LAM) > 0.5
+            is_met = fld(_BS_MET) > 0.5
+            is_die = fld(_BS_DIE) > 0.5
+            is_emi = fld(_BS_EMI) > 0.5
+            is_iso = hit & ~(is_lam | is_met | is_die | is_emi)
+
+            white = jnp.ones_like(albedo)
+            black = jnp.zeros_like(albedo)
+            lam_dir = n + sphere_dir
+            lam_dir = jnp.where(vec.near_zero(lam_dir)[..., None], n,
+                                lam_dir)
+            reflected = vec.normalize(vec.reflect(d, n))
+            metal_dir = reflected + fuzz[..., None] * sphere_dir
+            ratio = jnp.where(front, 1.0 / ir, ir)
+            ud = vec.normalize(d)
+            cos_theta = jnp.minimum(vec.dot(n, -ud), 1.0)
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            diel_dir = jnp.where(
+                refl[..., None],
+                vec.reflect(ud, n),
+                vec.refract(ud, n, ratio),
+            )
+            iso_dir = sphere_dir * rng.cbrt01(u_r)[..., None]
+
+            conds = [is_lam[..., None], is_met[..., None],
+                     is_die[..., None], is_emi[..., None],
+                     is_iso[..., None]]
+            atten = jnp.select(
+                conds,
+                [albedo, jnp.where(m_ok[..., None], albedo, black),
+                 white, emission, albedo],
+                default=black)
+            new_dir = jnp.select(
+                conds, [lam_dir, metal_dir, diel_dir, n, iso_dir],
+                default=n)
+            scatters = jnp.select(
+                [is_lam, is_met, is_die, is_emi, is_iso],
+                [jnp.ones(code.shape, bool), m_ok,
+                 jnp.ones(code.shape, bool),
+                 jnp.zeros(code.shape, bool),
+                 jnp.ones(code.shape, bool)],
+                default=jnp.ones(code.shape, bool))
+
+        terminal = hit & ~scatters
+        rad = rad + jnp.where(terminal[:, None], thr * atten, 0.0)
+        cont = hit & scatters
+        thr = jnp.where(cont[:, None], thr * atten, thr)
+        o = jnp.where(cont[:, None], point, o)
+        d = jnp.where(cont[:, None], new_dir, d)
+        alive = cont
+    return rad
+
+
 def replay_radiance(scene: Scene, rec, key_words, ray_ids, px, py,
                     width: int, height: int, env=None):
     """(R, max_depth) winner records -> per-ray radiance (R, 3).
