@@ -132,14 +132,22 @@ def test_supports_bvh_gate():
     b.add_volume(vi, 2.0)
     sv = b.build(with_bvh=True)
     assert PK.supports_bvh(sv) and sv.cbvh.n_vol_chunks == 1
-    # skymap background SUPPORTED (miss-record path); Normal mode is not
+    # skymap background SUPPORTED (miss-record path)
     b2 = grid_builder(n=3)
     img = np.ones((4, 8, 3), np.float32)
     b2.background = Background.skymap_from_array(img)
     assert PK.supports_bvh(b2.build(with_bvh=True))
+    # Normal/Random inspection views SUPPORTED since r5 (single
+    # intersection pass in-kernel, tests/test_debug_modes.py) — except
+    # over a skymap background (miss-record machinery not worth a
+    # non-perf path)
     b3 = grid_builder(n=3)
     b3.settings = RenderSettings(mode="Normal")
-    assert not PK.supports_bvh(b3.build(with_bvh=True))
+    assert PK.supports_bvh(b3.build(with_bvh=True))
+    b4 = grid_builder(n=3)
+    b4.settings = RenderSettings(mode="Normal")
+    b4.background = Background.skymap_from_array(img)
+    assert not PK.supports_bvh(b4.build(with_bvh=True))
 
 
 # ------------------------------------------- equivalence vs the brute kernel
