@@ -103,6 +103,46 @@ def _mix_in_kernel_ok(scene: Scene) -> bool:
     return (kind[child_a] != M.MIX).all() and (kind[child_b] != M.MIX).all()
 
 
+def _mix_depth(scene: Scene) -> int:
+    """Static max nesting depth of the scene's mix DAG (0 = mix-free,
+    1 = single-level).  Cycles / depth beyond MAX_MIX_DEPTH report
+    MAX_MIX_DEPTH + 1 (unsupported — XLA's resolve_mix truncates there
+    too, ops/shade.py:59)."""
+    mats = scene.materials
+    if not mats.has_mix:
+        return 0
+    kind = np.asarray(mats.kind)
+    first = np.asarray(mats.mix_first)
+    second = np.asarray(mats.mix_second)
+
+    def depth(m, hops):
+        if kind[m] != M.MIX or hops > M.MAX_MIX_DEPTH:
+            return 0 if kind[m] != M.MIX else M.MAX_MIX_DEPTH + 1
+        return 1 + max(depth(first[m], hops + 1), depth(second[m], hops + 1))
+
+    return max(depth(m, 0) for m in range(len(kind)))
+
+
+def _mixn_cfg(scene: Scene):
+    """(mix_single, d_mix, m_pad) — which kernel mix scheme the scene
+    needs.  Single-level mixes keep the baked-S2 leaf-merge blend
+    (``mix_single``); deeper DAGs (<= MAX_MIX_DEPTH) run the in-kernel
+    resolution chain (``d_mix`` one-hot lookup rounds against a
+    (16, m_pad) per-material table — the VPU form of resolve_mix,
+    ops/shade.py:47-67; lib/materials.rs:141-157 nests Box<dyn Material>
+    arbitrarily).  Mix scenes WITH mesh volumes always take the chain
+    scheme (the mv fparams record carries the raw delegated id at slot
+    13, so a mix delegated material resolves like any other —
+    lib/volume.rs:25-31)."""
+    d = _mix_depth(scene)
+    if d == 0:
+        return False, 0, 0
+    if d == 1 and scene.num_mesh_volumes == 0:
+        return True, 0, 0
+    m_pad = -(-len(np.asarray(scene.materials.kind)) // BVH_LEAF) * BVH_LEAF
+    return False, max(d, 1), m_pad
+
+
 def _env_is_active(scene: Scene) -> bool:
     """True when the scene actually USES the one-sample-MIS environment
     importance sampler (render/integrator.py:106-140): the flag is set AND
@@ -490,11 +530,13 @@ MAX_BVH_VOLUMES = 8
 # a fori_loop per volume per pass, so the count stays capped.
 MAX_BVH_MESH_VOLUMES = 4
 # fparams tail for the BVH kernel (after the 20-slot head): per mesh
-# volume [nid, al rgb, fuzz, ir, em rgb, lam, met, die, emi] — the
+# volume [nid, al rgb, fuzz, ir, em rgb, lam, met, die, emi, mid] — the
 # delegated material's values + kind one-hots (Isotropic = the complement,
-# as in the _BS_ rows)
+# as in the _BS_ rows) + the RAW delegated material id (slot 13, read only
+# by the nested-mix resolution chain — lib/volume.rs:25-31 boundaries can
+# carry ANY material incl. mixes)
 _MV = 20
-_MV_STRIDE = 13
+_MV_STRIDE = 14
 
 
 def supports_bvh(scene: Scene) -> bool:
@@ -513,10 +555,12 @@ def supports_bvh(scene: Scene) -> bool:
         # mesh-bounded volumes (r4): dense crossing scan over mv chunks;
         # needs the mv permutation (cbvh objects built before r4 lack it)
         # and stays out of the mix matrix for now
+        # mix + mesh-volume combos SUPPORTED since r5: mix scenes with
+        # mesh volumes route through the nested-mix resolution chain
+        # (the mv record carries its raw delegated id — _mixn_cfg)
         and scene.num_mesh_volumes <= MAX_BVH_MESH_VOLUMES
         and (scene.num_mesh_volumes == 0
-             or (len(cb.mv_spans) == scene.num_mesh_volumes
-                 and not scene.materials.has_mix))
+             or len(cb.mv_spans) == scene.num_mesh_volumes)
         # volume scenes need the third (volume-sphere) chunk tree — cbvh
         # objects built before round 3 lack it
         and (scene.spheres.num_volumes == 0 or cb.n_vol_chunks > 0)
@@ -525,8 +569,13 @@ def supports_bvh(scene: Scene) -> bool:
         # layout) and the leaf merge blends the two one-hot fetches with
         # the bounce's mix coin BEFORE the winner rides the carry — the
         # carry stays 16 rows (VERDICT r3 #5; lib/materials.rs:141-157).
-        # Nested mixes still need per-lane table gathers -> XLA.
-        and _mix_in_kernel_ok(scene)
+        # NESTED mixes SUPPORTED (r5, VERDICT r4 #6): the carry holds the
+        # winner's RAW material id and the shade stage resolves the mix
+        # DAG with d_mix one-hot lookup rounds against a per-material
+        # VMEM table (_mixn_resolve) — the in-kernel form of XLA's
+        # resolve_mix chain, same coins, bitwise-equal leaves.  Depth is
+        # capped at MAX_MIX_DEPTH exactly like ops/shade.py:59.
+        and _mix_depth(scene) <= M.MAX_MIX_DEPTH
         and scene.background.kind in (B.UNIFORM, B.GRADIENT, B.SKYMAP)
         # env importance sampling SUPPORTED via the r4 hybrid (record
         # kernel walk + occlusion-kernel shadow rays + XLA MIS replay,
@@ -578,7 +627,7 @@ def _mat_rows(scene: Scene, mid, pad):
     return rows
 
 
-def _pack_sphere_chunks(scene: Scene, perm):
+def _pack_sphere_chunks(scene: Scene, perm, mixn: bool = False):
     """Permuted sphere chunks -> s (n_chunks*16, 128), the _BS_* shading
     rows (center + radius double as the intersection constants).  Padding
     lanes are all-zero (radius == 0 marks them; the leaf kernel masks
@@ -587,7 +636,12 @@ def _pack_sphere_chunks(scene: Scene, perm):
     Mix scenes (materials.has_mix): the material rows hold the FIRST
     resolved mix leaf (mix_first == self for non-mix rows), exactly like
     the brute kernel's base slots; the second leaf rides the S2 matrix
-    (:func:`_pack_chunks_s2`)."""
+    (:func:`_pack_chunks_s2`).
+
+    ``mixn`` (NESTED mixes, r5): the material rows carry only the RAW
+    material id at row _BS_AL — the shade stage resolves the mix DAG and
+    fetches the leaf's constants from the per-material table
+    (:func:`_pack_mixn_table`) instead."""
     lf = BVH_LEAF
     perm = jnp.asarray(perm)
     idx = jnp.maximum(perm, 0)
@@ -597,9 +651,12 @@ def _pack_sphere_chunks(scene: Scene, perm):
     n = idx.shape[0]
 
     mid = scene.spheres.material[idx]
-    if scene.materials.has_mix:
-        mid = scene.materials.mix_first[mid]
-    rows = _mat_rows(scene, mid, pad)
+    if mixn:
+        rows = {_BS_AL: mid.astype(jnp.float32)}
+    else:
+        if scene.materials.has_mix:
+            mid = scene.materials.mix_first[mid]
+        rows = _mat_rows(scene, mid, pad)
     rows.update({
         _BS_GEO + 0: c[:, 0], _BS_GEO + 1: c[:, 1], _BS_GEO + 2: c[:, 2],
         _BS_RAD: r,
@@ -634,17 +691,46 @@ def _pack_chunks_s2(scene: Scene, perm, tri: bool = False):
     return _chunk_rows(s2, lf)
 
 
+# Per-material table rows for NESTED-mix scenes (r5): the shade stage
+# resolves the winner's mix DAG with d_mix one-hot lookup rounds against
+# this (16, m_pad) matrix — rows 0-3 drive the chain (XLA resolve_mix's
+# kind/factor/first/second lookups, ops/shade.py:60-67), rows 4-15 are the
+# resolved LEAF's shading constants at the same _BS_ offsets the carry
+# uses, so the final fetch drops straight into the par rows.
+_MT_ISMIX = 0
+_MT_FAC = 1
+_MT_FIRST = 2
+_MT_SECOND = 3
+
+
+def _pack_mixn_table(scene: Scene, m_pad: int):
+    """Material table -> (16, m_pad) f32 for the in-kernel mix-resolution
+    chain.  Ids are exact small-int f32s; pad columns are all-zero
+    (never selected — every reachable id is < len(kind))."""
+    mats = scene.materials
+    mid = jnp.arange(mats.kind.shape[0], dtype=jnp.int32)
+    f32 = jnp.float32
+    rows = _mat_rows(scene, mid, None)
+    rows[_MT_ISMIX] = (mats.kind[mid] == M.MIX).astype(f32)
+    rows[_MT_FAC] = mats.mix_factor[mid]
+    rows[_MT_FIRST] = mats.mix_first[mid].astype(f32)
+    rows[_MT_SECOND] = mats.mix_second[mid].astype(f32)
+    mt = _stack16(mid.shape[0], rows)
+    return jnp.pad(mt, ((0, 0), (0, m_pad - mt.shape[1])))
+
+
 # Volume-chunk extra rows (second constant matrix, _VX_* layout): the
 # free-flight parameters that do not fit the 16 _BS_ shading rows.
 _VX_NID = 0   # neg_inv_density
 _VX_ORD = 1   # volume ordinal (sphere row - num_solid), as f32
 
 
-def _pack_vol_chunks(scene: Scene, perm):
+def _pack_vol_chunks(scene: Scene, perm, mixn: bool = False):
     """Permuted VOLUME-sphere chunks -> (s (nc*16, 128) _BS_ shading rows
     — GEO/RAD hold the boundary sphere, material rows the delegated
     material — and x (nc*16, 128) _VX_* extra rows).  Padding lanes are
-    all-zero (radius == 0)."""
+    all-zero (radius == 0).  ``mixn``: raw delegated-material id at row
+    _BS_AL (resolved + fetched at the shade stage)."""
     lf = BVH_LEAF
     perm = jnp.asarray(perm)
     idx = jnp.maximum(perm, 0)
@@ -654,9 +740,12 @@ def _pack_vol_chunks(scene: Scene, perm):
     n = idx.shape[0]
 
     mid = scene.spheres.material[idx]
-    if scene.materials.has_mix:
-        mid = scene.materials.mix_first[mid]
-    rows = _mat_rows(scene, mid, pad)
+    if mixn:
+        rows = {_BS_AL: mid.astype(jnp.float32)}
+    else:
+        if scene.materials.has_mix:
+            mid = scene.materials.mix_first[mid]
+        rows = _mat_rows(scene, mid, pad)
     rows.update({
         _BS_GEO + 0: c[:, 0], _BS_GEO + 1: c[:, 1], _BS_GEO + 2: c[:, 2],
         _BS_RAD: r,
@@ -732,11 +821,13 @@ def _vol_chunk_hit(s_ref, x_ref, chunk, o3, d3, a, ray_len, u_vols,
                              code, code_rows)
 
 
-def _pack_tri_chunks(scene: Scene, perm):
+def _pack_tri_chunks(scene: Scene, perm, mixn: bool = False):
     """Permuted triangle chunks -> (g (n_chunks*16, 128) geometry rows
     (_TG_* layout: v0/e1/e2 for the direct Moller-Trumbore form),
     s (n_chunks*16, 128) shading rows (_BS_* layout)).  Padding lanes are
-    all-zero -> determinant a == 0 -> rejected by the epsilon."""
+    all-zero -> determinant a == 0 -> rejected by the epsilon.
+    ``mixn``: raw material id at row _BS_AL (nested mixes, see
+    :func:`_pack_sphere_chunks`)."""
     lf = BVH_LEAF
     perm = jnp.asarray(perm)
     idx = jnp.maximum(perm, 0)
@@ -756,9 +847,12 @@ def _pack_tri_chunks(scene: Scene, perm):
     g_mat = jnp.where(pad2, 0.0, g_mat)
 
     mid = tris.material[idx]
-    if scene.materials.has_mix:
-        mid = scene.materials.mix_first[mid]
-    rows = _mat_rows(scene, mid, pad)
+    if mixn:
+        rows = {_BS_AL: mid.astype(jnp.float32)}
+    else:
+        if scene.materials.has_mix:
+            mid = scene.materials.mix_first[mid]
+        rows = _mat_rows(scene, mid, pad)
     nrm = tris.normal[idx]
     rows.update({_BS_GEO + 0: nrm[:, 0], _BS_GEO + 1: nrm[:, 1],
                  _BS_GEO + 2: nrm[:, 2]})
@@ -816,6 +910,44 @@ def _merge_chunk_rows(t_best, par, win, tb_rows, par_rows, win_rows,
     if code is None:
         return t_best, tuple(new_par), win
     return t_best, tuple(new_par), win, jnp.concatenate(code_rows, axis=0)
+
+
+def _mixn_fetch(mt, mid):
+    """One-hot table fetch: (16, m_pad) x onehot(mid) -> 16 (R, cols)
+    rows.  ``mid`` is (R, cols) f32 material ids (exact small ints); one
+    (16, m_pad) x (m_pad, cols) dot per sublane row — the MXU form of a
+    per-lane gather (small-table gathers lower to scalar loops on TPU,
+    utils/lookup.py)."""
+    hi = jax.lax.Precision.HIGHEST
+    m_pad = mt.shape[1]
+    nrow, cols = mid.shape
+    iota = jax.lax.broadcasted_iota(jnp.float32, (m_pad, cols), 0)
+    per_row = []
+    for r in range(nrow):
+        oh = jnp.where(iota == mid[r:r + 1], 1.0, 0.0)
+        per_row.append(jax.lax.dot_general(
+            mt, oh, (((1,), (0,)), ((), ())),
+            precision=hi, preferred_element_type=jnp.float32))
+    return [jnp.concatenate([q[j:j + 1] for q in per_row], axis=0)
+            for j in range(16)]
+
+
+def _mixn_resolve(mt, par, coins, d_mix):
+    """Shade-stage nested-mix resolution (r5, VERDICT r4 #6): the carry's
+    _BS_AL row holds the winner's RAW material id; run ``d_mix`` rounds of
+    the resolve_mix chain (ops/shade.py:60-67 — u >= factor picks the
+    FIRST child, lib/materials.rs:151; non-mix ids are fixed points), then
+    fetch the leaf's shading constants into the par rows.  Coin columns
+    0..d_mix-1 of the bounce's uniform block — positional, so skipping the
+    no-op deeper levels stays bitwise-aligned with the XLA engine."""
+    mid = par[_BS_AL]
+    for lvl in range(d_mix):
+        q = _mixn_fetch(mt, mid)
+        child = jnp.where(coins[lvl] >= q[_MT_FAC],
+                          q[_MT_FIRST], q[_MT_SECOND])
+        mid = jnp.where(q[_MT_ISMIX] > 0.5, child, mid)
+    q = _mixn_fetch(mt, mid)
+    return par[:_BS_AL] + tuple(q[_BS_AL:])
 
 
 def _merge_leaf_rows(ti, s_m, t_best, par, win, win_val, r,
@@ -1082,7 +1214,8 @@ def _traverse_tree(nodes_f, nodes_i, k_nodes, leaf_fn,
 def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                    sphere_kinds, bg_kind, clay, unrolled,
                    tri=None, tri_kinds=(), bvh=None, mix=False, n_vol=0,
-                   n_mv=0, record_ref=None, gens=1, debug=None):
+                   n_mv=0, record_ref=None, gens=1, debug=None,
+                   mixn_tab=None, d_mix=0):
     """The megakernel's radiance computation as a PURE function.
 
     ``debug``: "normal" | "random" — the reference's inspection view
@@ -1396,11 +1529,12 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
             # them), and radius only when an Isotropic exists.
             # Volume scenes draw one extra column per volume object (the
             # free-flight uniform; XLA: u_vol = u[:, n_shade:]).
-            off = M.MAX_MIX_DEPTH if mix else 0
+            off = M.MAX_MIX_DEPTH if (mix or mixn_tab is not None) else 0
             n_u = off + ((4 if iso else 3) if n_vol + n_mv == 0
                          else 4 + n_vol + n_mv)
             us = _stream_uniforms(k0, k1, ray_u32, 1 + b, n_u)
             u_mix = us[0] if mix else None
+            u_mixn = us[:d_mix] if mixn_tab is not None else None
             u1, u2, u_coin = us[off], us[off + 1], us[off + 2]
             u_r = us[off + 3] if iso else zero
 
@@ -1507,16 +1641,24 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                         won = (valid & (hit_dist <= dist_inside)
                                & (ti < t_best))
                         t_best = jnp.where(won, ti, t_best)
-                        vals = {
-                            _BS_RAD: 1.0,
-                            _BS_AL + 0: f(fb + 1), _BS_AL + 1: f(fb + 2),
-                            _BS_AL + 2: f(fb + 3),
-                            _BS_FUZZ: f(fb + 4), _BS_IR: f(fb + 5),
-                            _BS_EM + 0: f(fb + 6), _BS_EM + 1: f(fb + 7),
-                            _BS_EM + 2: f(fb + 8),
-                            _BS_LAM: f(fb + 9), _BS_MET: f(fb + 10),
-                            _BS_DIE: f(fb + 11), _BS_EMI: f(fb + 12),
-                        }
+                        if mixn_tab is not None:
+                            # nested-mix scheme: the carry row _BS_AL is
+                            # the RAW delegated material id; the shade
+                            # stage's resolution chain fetches the rest
+                            vals = {_BS_RAD: 1.0, _BS_AL + 0: f(fb + 13)}
+                        else:
+                            vals = {
+                                _BS_RAD: 1.0,
+                                _BS_AL + 0: f(fb + 1),
+                                _BS_AL + 1: f(fb + 2),
+                                _BS_AL + 2: f(fb + 3),
+                                _BS_FUZZ: f(fb + 4), _BS_IR: f(fb + 5),
+                                _BS_EM + 0: f(fb + 6),
+                                _BS_EM + 1: f(fb + 7),
+                                _BS_EM + 2: f(fb + 8),
+                                _BS_LAM: f(fb + 9), _BS_MET: f(fb + 10),
+                                _BS_DIE: f(fb + 11), _BS_EMI: f(fb + 12),
+                            }
                         par = tuple(
                             jnp.where(won, zero + vals[j], par[j])
                             if j in vals else par[j]
@@ -1581,6 +1723,12 @@ def _radiance_math(f, k0, k1, ray_u32, px, py, *, n_spheres, max_depth,
                             thr_r, thr_g, thr_b, rad_r, rad_g, rad_b,
                             *miss, zero)
 
+                if mixn_tab is not None:
+                    # nested mixes: the carry's _BS_AL row is the RAW
+                    # material id; resolve the DAG + fetch the leaf's
+                    # constants (hit-independent given the id — the
+                    # coins are bounce-local uniforms)
+                    par = _mixn_resolve(mixn_tab, par, u_mixn, d_mix)
                 al_r = par[_BS_AL + 0]
                 al_g = par[_BS_AL + 1]
                 al_b = par[_BS_AL + 2]
@@ -2644,6 +2792,7 @@ def _pack_fparams(scene: Scene, width: int, height: int,
             (kind == M.METAL).astype(f32)[:, None],
             (kind == M.DIELECTRIC).astype(f32)[:, None],
             (kind == M.EMISSION).astype(f32)[:, None],
+            mid.astype(f32)[:, None],
         ], axis=1).reshape(-1)
         head = jnp.concatenate([head, mv])
     if not with_spheres:
@@ -2828,14 +2977,17 @@ def _bvh_kinds(scene: Scene) -> tuple:
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
                      k_vol=0, n_vol=0, record=False, gens=1, mix=False,
-                     mv_spans=(), debug=None):
+                     mv_spans=(), debug=None, d_mix=0):
     """Forward kernel with the chunk-leaf BVH intersect stage.  Node tables
     ride scalar-prefetch SMEM (scalar cursor reads); chunk constant matrices
     ride VMEM.  Tree order: solid spheres, volume spheres, triangles.
     ``record``: additionally write the per-bounce winner-slot record (last
     output ref; unrolled chain) for the differentiable replay.
     ``mix``: every present tree carries one extra S2 VMEM matrix (leaf-B
-    shading rows + mix factor) consumed by the leaf-merge blend."""
+    shading rows + mix factor) consumed by the leaf-merge blend.
+    ``d_mix`` > 0 (NESTED mixes, r5): one extra (16, m_pad) per-material
+    VMEM table after the chunk operands; the shade stage resolves the
+    winner's mix DAG with d_mix one-hot rounds (_mixn_resolve)."""
     has_sph = k_sph > 0
     has_vol = k_vol > 0
     has_tri = k_tri > 0
@@ -2870,6 +3022,10 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
         if has_mv:
             mv_ = (refs[0], mv_spans)
             refs = refs[1:]
+        mixn_tab = None
+        if d_mix:
+            mixn_tab = refs[0][...]
+            refs = refs[1:]
         ray_id_ref, px_ref, py_ref = refs[:3]
         outs = refs[3:]
         rec_ref = None
@@ -2894,6 +3050,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
             bvh={"sph": sph, "vol": vol_, "tri": tri_, "mv": mv_},
             record_ref=rec_ref, n_vol=n_vol, n_mv=len(mv_spans),
             gens=gens, mix=mix, debug=debug,
+            mixn_tab=mixn_tab, d_mix=d_mix,
         )
         for ref, val in zip(outs, vals):
             ref[...] = val
@@ -2905,7 +3062,7 @@ def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
 def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
               n_vol_chunks=0, k_vol=0, n_vol=0, record=False, gens=1,
-              mix=False, mv_spans=(), debug=None):
+              mix=False, mv_spans=(), debug=None, d_mix=0, m_pad=0):
     """pallas_call wrapper for one static BVH-kernel configuration.
     ``record`` appends an (rows, max_depth * 256) int32 output holding the
     per-bounce winner records.  ``gens`` > 1 makes each grid step cover
@@ -2936,13 +3093,15 @@ def _bvh_call(max_depth, kinds, bg_kind, clay, rows, interpret,
     n_mv_chunks = sum(nc for _, nc in mv_spans)
     if n_mv_chunks:
         in_specs += [full(n_mv_chunks * 16, BVH_LEAF)]
+    if d_mix:
+        in_specs += [full(16, m_pad)]
     in_specs += [block, block, block]
     n_out = 9 if bg_kind == B.SKYMAP else 3
 
     kernel = _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,
                               k_vol=k_vol, n_vol=n_vol, record=record,
                               gens=gens, mix=mix, mv_spans=mv_spans,
-                              debug=debug)
+                              debug=debug, d_mix=d_mix)
     out_specs = [block] * n_out
     out_shape = [out] * n_out
     if record:
@@ -3225,31 +3384,36 @@ def _fetch_wide_tabs(tens, n_sph_chunks, n_tri_chunks):
 
 
 def _bvh_prep(scene: Scene, width: int, height: int, mix: bool,
-              mv_spans: tuple):
+              mv_spans: tuple, m_pad: int = 0):
     """Scene -> (fparams, node tables, chunk tensor operands) for the
     packet-traversal kernels (shared by the custom_vjp primal, the record
-    pass, and the env-IS hybrid)."""
+    pass, and the env-IS hybrid).  ``m_pad`` > 0 (nested mixes): chunk
+    shading rows carry raw material ids and the (16, m_pad) resolution
+    table rides as the last tensor operand."""
     cb = scene.cbvh
+    mixn = m_pad > 0
     fparams = _pack_fparams(scene, width, height, with_spheres=False,
                             mesh_vols=bool(mv_spans))
     scal, tens = [], []
     if cb.n_sph_chunks:
         scal += [cb.sph_nodes_f, cb.sph_nodes_i]
-        tens += [_pack_sphere_chunks(scene, cb.sph_perm)]
+        tens += [_pack_sphere_chunks(scene, cb.sph_perm, mixn=mixn)]
         if mix:
             tens += [_pack_chunks_s2(scene, cb.sph_perm)]
     if cb.n_vol_chunks:
         scal += [cb.vol_nodes_f, cb.vol_nodes_i]
-        tens += list(_pack_vol_chunks(scene, cb.vol_perm))
+        tens += list(_pack_vol_chunks(scene, cb.vol_perm, mixn=mixn))
         if mix:
             tens += [_pack_chunks_s2(scene, cb.vol_perm)]
     if cb.n_tri_chunks:
         scal += [cb.tri_nodes_f, cb.tri_nodes_i]
-        tens += list(_pack_tri_chunks(scene, cb.tri_perm))
+        tens += list(_pack_tri_chunks(scene, cb.tri_perm, mixn=mixn))
         if mix:
             tens += [_pack_chunks_s2(scene, cb.tri_perm, tri=True)]
     if mv_spans:
         tens += [_pack_mv_chunks(scene, cb.mv_perm)]
+    if mixn:
+        tens += [_pack_mixn_table(scene, m_pad)]
     return fparams, scal, tens
 
 
@@ -3257,7 +3421,7 @@ def _bvh_prep(scene: Scene, width: int, height: int, mix: bool,
 def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
               n_sph_chunks, n_tri_chunks, k_sph, k_tri,
               width, height, n_rays, n_vol_chunks=0, k_vol=0, n_vol=0,
-              gens=1, mix=False, mv_spans=()):
+              gens=1, mix=False, mv_spans=(), d_mix=0, m_pad=0):
     """custom_vjp-wrapped BVH-kernel radiance for one static configuration.
 
     Primal: the packet-traversal forward kernel (while-loop traversal, no
@@ -3269,7 +3433,7 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     """
 
     def prep(scene, width=width, height=height):
-        return _bvh_prep(scene, width, height, mix, mv_spans)
+        return _bvh_prep(scene, width, height, mix, mv_spans, m_pad=m_pad)
 
     def finish(scene, outs):
         if bg_kind == B.SKYMAP:
@@ -3285,8 +3449,10 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
             n_vol_chunks, k_vol, n_vol)
     # the primal may be generation-scheduled (pure scheduling — bitwise
     # identical per ray); the record variant stays single-generation
-    run_fwd = _bvh_call(*args, gens=gens, mix=mix, mv_spans=mv_spans)
-    run_rec = _bvh_call(*args, record=True, mix=mix, mv_spans=mv_spans)
+    run_fwd = _bvh_call(*args, gens=gens, mix=mix, mv_spans=mv_spans,
+                        d_mix=d_mix, m_pad=m_pad)
+    run_rec = _bvh_call(*args, record=True, mix=mix, mv_spans=mv_spans,
+                        d_mix=d_mix, m_pad=m_pad)
 
     @jax.custom_vjp
     def radiance(scene, iparams, ray_ids, px, py):
@@ -3323,7 +3489,7 @@ def _bvh_cvjp(max_depth, kinds, bg_kind, clay, rows, interpret,
     # foundation for a generation-scheduled record pass, which is the
     # other half of the bill.
     fetch_path_ok = (
-        not mix and n_vol == 0 and not mv_spans
+        not mix and d_mix == 0 and n_vol == 0 and not mv_spans
         and bg_kind in (B.UNIFORM, B.GRADIENT)
         and n_vol_chunks == 0
         and (n_sph_chunks + n_tri_chunks) > 0
@@ -3644,7 +3810,7 @@ def _occlusion_prep(scene: Scene):
 
 def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
                       iparams, *, kinds=None, interpret=False,
-                      sample_offset=0, n_samples=None):
+                      sample_offset=0, n_samples=None, mix_cfg=None):
     """HDRI importance sampling on the Pallas path (r4, BASELINE config
     #4): record-kernel walk + occlusion-kernel NEE shadow rays + the
     differentiable XLA MIS replay.  -> (P, 3) mean clamped radiance.
@@ -3670,12 +3836,15 @@ def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
     max_depth = scene.settings.max_ray_depth
     p = pixel_ids.shape[0]
     n_local = n_samples if n_samples is not None else spp
-    mix = bool(scene.materials.has_mix)
+    # static mix scheme (like ``kinds``, must be resolved OUTSIDE jit —
+    # the DAG topology lives in traced arrays)
+    mix, d_mix, m_pad = mix_cfg if mix_cfg is not None else _mixn_cfg(scene)
 
     # pack ONCE per evaluation: the record operands (detached) and the
     # occlusion operands (non-S2 subset, detached), shared by every tile
     # and every bounce's shadow pass
-    fparams, scal, tens = _bvh_prep(sg(scene), width, height, mix, ())
+    fparams, scal, tens = _bvh_prep(sg(scene), width, height, mix, (),
+                                    m_pad=m_pad)
     occ_prep = _occlusion_prep(sg(scene))
 
     # tile size: bound the (tile_rays, sky_width) replay intermediates
@@ -3703,6 +3872,7 @@ def _bvh_env_radiance(scene: Scene, pixel_ids, width: int, height: int,
             cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
             n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
             n_vol=scene.spheres.num_volumes, record=True, mix=mix,
+            d_mix=d_mix, m_pad=m_pad,
         )
         *_outs, rec_raw = run_rec(iparams, fparams, scal, tens,
                                   ray_ids, px, py)
@@ -3735,7 +3905,8 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
                               interpret: bool = False,
                               sample_offset=0,
                               n_samples: int | None = None,
-                              gens: int | None = None):
+                              gens: int | None = None,
+                              mix_cfg: tuple | None = None):
     """Mean clamped radiance per pixel -> (P, 3) via the packet-traversal
     kernel — the fast path for scenes beyond :func:`supports`' brute-force
     limits (gated by :func:`supports_bvh`).  DIFFERENTIABLE: the traversal
@@ -3753,11 +3924,14 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         return _bvh_env_radiance(scene, pixel_ids, width, height, iparams,
                                  kinds=kinds, interpret=interpret,
                                  sample_offset=sample_offset,
-                                 n_samples=n_samples)
+                                 n_samples=n_samples, mix_cfg=mix_cfg)
     cb = scene.cbvh
     if kinds is None:
         kinds = _bvh_kinds(scene)
     spp = scene.settings.samples_per_pixel
+    # static mix scheme (resolved OUTSIDE jit when callers pass mix_cfg,
+    # mirroring the ``kinds`` contract)
+    mix, d_mix, m_pad = mix_cfg if mix_cfg is not None else _mixn_cfg(scene)
     debug = {MODE_NORMAL: "normal", MODE_RANDOM: "random"}.get(
         scene.settings.mode)
     if debug is not None:
@@ -3782,13 +3956,13 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
             cb.n_sph_chunks, cb.n_tri_chunks, cb.sph_nodes, cb.tri_nodes,
             n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
             n_vol=scene.spheres.num_volumes,
-            mix=bool(scene.materials.has_mix),
+            mix=mix,
             mv_spans=cb.mv_spans if scene.num_mesh_volumes else (),
-            debug=debug,
+            debug=debug, d_mix=d_mix, m_pad=m_pad,
         )
         fparams, scal, tens = _bvh_prep(
-            scene, width, height, bool(scene.materials.has_mix),
-            cb.mv_spans if scene.num_mesh_volumes else ())
+            scene, width, height, mix,
+            cb.mv_spans if scene.num_mesh_volumes else (), m_pad=m_pad)
         rad_r, rad_g, rad_b = run(iparams, fparams, scal, tens,
                                   ray_ids, px, py)
         radiance = jnp.stack(
@@ -3804,8 +3978,9 @@ def pixel_radiance_pallas_bvh(scene: Scene, pixel_ids, width: int,
         width, height, n_rays,
         n_vol_chunks=cb.n_vol_chunks, k_vol=cb.vol_nodes,
         n_vol=scene.spheres.num_volumes, gens=gens,
-        mix=bool(scene.materials.has_mix),
+        mix=mix,
         mv_spans=cb.mv_spans if scene.num_mesh_volumes else (),
+        d_mix=d_mix, m_pad=m_pad,
     )
     radiance = radiance_fn(scene, iparams, ray_ids, px, py)
     radiance = jnp.clip(radiance, 0.0, scene.settings.clamp_indirect)

@@ -118,9 +118,11 @@ def _render_pallas(scene: Scene, width: int, height: int, iparams,
 
 
 @partial(jax.jit,
-         static_argnames=("width", "height", "kinds", "interpret"))
+         static_argnames=("width", "height", "kinds", "interpret",
+                          "mix_cfg"))
 def _render_pallas_bvh(scene: Scene, width: int, height: int, iparams,
-                       kinds: tuple, interpret: bool):
+                       kinds: tuple, interpret: bool,
+                       mix_cfg: tuple | None = None):
     from ..ops.pallas_megakernel import pixel_radiance_pallas_bvh
 
     # TILE-MAJOR ray->block assignment (r5, VERDICT r4 #3): the packet
@@ -136,7 +138,7 @@ def _render_pallas_bvh(scene: Scene, width: int, height: int, iparams,
     perm, inv = _tile_order(width, height)
     mean = pixel_radiance_pallas_bvh(scene, jnp.asarray(perm), width,
                                      height, iparams, kinds=kinds,
-                                     interpret=interpret)
+                                     interpret=interpret, mix_cfg=mix_cfg)
     return mean[jnp.asarray(inv)].reshape(height, width, 3)
 
 
@@ -196,8 +198,9 @@ def select_engine(scene: Scene, engine: str) -> str:
       3.9M vs 7.8M; even 2 tris + 4 spheres: 14.9M vs 15.3M), and deep
       sphere chains lose the unroll + gain generations (simple.json d50:
       11.3M vs 15.3M);
-    * brute kernel as fallback for scenes the BVH kernel rejects (nested
-      mixes, no cbvh built) within its own measured-safe envelope;
+    * brute kernel as fallback for scenes the BVH kernel rejects (no
+      cbvh built, skymap debug modes) within its own measured-safe
+      envelope;
     * env-importance-sampling scenes: the XLA MIS estimator below the
       dense-intersector boundary (TPU_ENV_IS_MIN_PRIMS), the packet
       path's record+occlusion+replay hybrid above it (65x at 384
@@ -228,8 +231,8 @@ def select_engine(scene: Scene, engine: str) -> str:
     if supports_bvh(scene):
         return "pallas_bvh"
     if brute_ok:
-        # e.g. no cbvh built, or nested-mix scenes (the BVH kernel admits
-        # only single-level mixes) below the brute caps; the brute kernel
+        # e.g. no cbvh built (nested mixes ride the BVH kernel's
+        # resolution chain since r5); the brute kernel
         # was MEASURED to OOM scoped VMEM at compile above
         # TPU_MAX_BRUTE_TRIS, so auto never selects a configuration known
         # to fail (explicit engine="pallas" still fails loudly at compile)
@@ -278,17 +281,19 @@ def make_pixel_radiance(scene: Scene, width: int, height: int,
         return fn, resolved
 
     if resolved == "pallas_bvh":
-        from ..ops.pallas_megakernel import (_bvh_kinds,
+        from ..ops.pallas_megakernel import (_bvh_kinds, _mixn_cfg,
                                              pixel_radiance_pallas_bvh)
 
         kinds = _bvh_kinds(scene)
+        mix_cfg = _mixn_cfg(scene)
 
         def fn(scene, pixel_ids, key, sample_offset=0, n_samples=None):
             return pixel_radiance_pallas_bvh(
                 scene, pixel_ids, width, height,
                 jnp.asarray(key).astype(jnp.int32),
                 kinds=kinds, interpret=interpret,
-                sample_offset=sample_offset, n_samples=n_samples)
+                sample_offset=sample_offset, n_samples=n_samples,
+                mix_cfg=mix_cfg)
 
         return fn, resolved
 
@@ -332,11 +337,12 @@ def render_linear(scene: Scene, width: int, height: int, *, seed: int = 0,
                               _sphere_kinds(scene), _tri_kinds(scene),
                               interpret)
     if resolved == "pallas_bvh":
-        from ..ops.pallas_megakernel import _bvh_kinds
+        from ..ops.pallas_megakernel import _bvh_kinds, _mixn_cfg
 
         return _render_pallas_bvh(scene, width, height,
                                   key.astype(jnp.int32),
-                                  _bvh_kinds(scene), interpret)
+                                  _bvh_kinds(scene), interpret,
+                                  _mixn_cfg(scene))
     spp = scene.settings.samples_per_pixel
     if tile_rays is None:
         tile_rays = default_tile_rays(scene)

@@ -84,14 +84,21 @@ def test_supports_bvh_admits_single_level_mix():
     s = mix_grid_builder(n=6).build(with_bvh=True)  # 216 > brute's 128
     assert not PK.supports(s)
     assert PK.supports_bvh(s)
-    # nested mixes stay excluded
+    # single-level keeps the S2 blend; NESTED mixes are admitted since r5
+    # via the shade-stage resolution chain (tests/test_pallas_bvh_mixn.py)
+    assert PK._mixn_cfg(s) == (True, 0, 0)
     b = mix_grid_builder(n=2)
     b.add_material(MixMaterial(
         MixMaterial(Lambertian((0.5, 0.5, 0.5)),
                     Metal((0.9, 0.9, 0.9), 0.0), 0.5),
         Lambertian((0.1, 0.1, 0.1)), 0.5))
     b.add_sphere((0, 3, 0), 0.4, 4)
-    assert not PK.supports_bvh(b.build(with_bvh=True))
+    s2 = b.build(with_bvh=True)
+    assert PK.supports_bvh(s2)
+    mix, d_mix, m_pad = PK._mixn_cfg(s2)
+    assert not mix and d_mix == 2 and m_pad == 128
+    # the brute kernel still takes single-level only
+    assert PK._mix_in_kernel_ok(s) and not PK._mix_in_kernel_ok(s2)
 
 
 def test_mix_bvh_bitwise_vs_brute_kernel():
