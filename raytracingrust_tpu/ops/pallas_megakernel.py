@@ -921,10 +921,13 @@ def _mixn_fetch(mt, mid):
     hi = jax.lax.Precision.HIGHEST
     m_pad = mt.shape[1]
     nrow, cols = mid.shape
-    iota = jax.lax.broadcasted_iota(jnp.float32, (m_pad, cols), 0)
+    # integer iota: Mosaic's tpu.iota only produces int vectors (an f32
+    # iota verifies in interpret mode but fails hardware lowering); the
+    # id row is an exact small-int f32, so the cast is lossless
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m_pad, cols), 0)
     per_row = []
     for r in range(nrow):
-        oh = jnp.where(iota == mid[r:r + 1], 1.0, 0.0)
+        oh = jnp.where(iota == mid[r:r + 1].astype(jnp.int32), 1.0, 0.0)
         per_row.append(jax.lax.dot_general(
             mt, oh, (((1,), (0,)), ((), ())),
             precision=hi, preferred_element_type=jnp.float32))
@@ -2970,9 +2973,29 @@ def pixel_radiance_pallas(scene: Scene, pixel_ids, width: int, height: int,
 # ----------------------------------------------- BVH packet-traversal driver
 
 def _bvh_kinds(scene: Scene) -> tuple:
-    """Static sorted tuple of material-kind ids used by ANY primitive."""
-    return tuple(sorted(_flat_kinds(_sphere_kinds(scene))
-                        | set(_tri_kinds(scene))))
+    """Static sorted tuple of LEAF material-kind ids reachable from ANY
+    primitive — spheres, triangles, AND mesh-volume delegates — through
+    the FULL mix DAG (transitive closure, not one level: a Lambertian
+    reachable only behind a depth-2 chain still needs its lobe compiled
+    for the nested-mix resolution path)."""
+    kinds = np.asarray(scene.materials.kind)
+    first = np.asarray(scene.materials.mix_first)
+    second = np.asarray(scene.materials.mix_second)
+    roots = set(np.asarray(scene.spheres.material).tolist())
+    roots |= set(np.asarray(scene.triangles.material).tolist())
+    if scene.num_mesh_volumes:
+        roots |= set(np.asarray(scene.mesh_volumes.material).tolist())
+    out, seen, stack = set(), set(), list(roots)
+    while stack:
+        m = int(stack.pop())
+        if m in seen:
+            continue
+        seen.add(m)
+        if kinds[m] == M.MIX:
+            stack += [int(first[m]), int(second[m])]
+        else:
+            out.add(int(kinds[m]))
+    return tuple(sorted(out))
 
 
 def _make_bvh_kernel(max_depth, kinds, bg_kind, clay, k_sph, k_tri,

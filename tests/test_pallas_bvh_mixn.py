@@ -209,6 +209,34 @@ def test_mixn_bvh_grad_fd():
     assert live >= 2, "inner-leaf albedo gradient should be live"
 
 
+def test_mixn_hidden_leaf_kind_compiles():
+    """Lobe-compilation regression: a material kind reachable ONLY behind
+    a depth-2 mix chain (no top-level instance anywhere in the scene)
+    must still get its lobe compiled.  _bvh_kinds now walks the FULL mix
+    DAG; the one-level walk it replaced silently dropped the Lambertian
+    here, shading ~half the hits with the zero-attenuation default
+    (caught by an env-scene A/B, r5)."""
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 1.2, 4), (0, 0, 0), (0, 1, 0), 55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=2, max_ray_depth=4)
+    lam = Lambertian((0.7, 0.4, 0.3))
+    # the ONLY Lambertian sits two levels deep; top level is mix+metal
+    m = b.add_material(MixMaterial(MixMaterial(lam, lam, 0.5),
+                                   Metal((0.9, 0.9, 0.9), 0.2), 0.5))
+    rs = np.random.RandomState(0)
+    for _ in range(40):
+        p = rs.uniform(-2, 2, 3)
+        b.add_sphere((p[0], p[1] * 0.5, p[2] * 0.5), 0.25, m)
+    s = b.build(with_bvh=True)
+    from raytracingrust_tpu.models import materials as M
+    assert M.LAMBERTIAN in PK._bvh_kinds(s)
+    xla = np.asarray(render_linear(s, 10, 10, seed=0, engine="xla"))
+    bvh = np.asarray(render_linear(s, 10, 10, seed=0,
+                                   engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, bvh, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
+
+
 def test_mixn_chain_bitwise_vs_s2_blend():
     """Controlled A/B: mix(mix(lam, lam, .5), met) resolves to the SAME
     material outcome as the flat mix(lam, met) for every coin draw, but
@@ -251,6 +279,37 @@ def test_mixn_chain_bitwise_vs_s2_blend():
     b = np.asarray(render_linear(s_nest, 10, 10, seed=0,
                                  engine="pallas_bvh"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_mixn_env_is_hybrid_matches_xla():
+    """Nested mixes through the env-IS hybrid (record walk + occlusion
+    kernel + MIS replay): the replay re-resolves the DAG with the same
+    coins, so the hybrid must track the XLA MIS estimator at the usual
+    engine tolerance."""
+    from raytracingrust_tpu import Background
+
+    img = np.full((32, 64, 3), 0.08, np.float32)
+    img[4:8, 10:14] = 40.0  # small bright sun
+    b = SceneBuilder()
+    b.camera = Camera.create((0, 1.2, 4), (0, 0, 0), (0, 1, 0), 55.0, 1.0)
+    b.settings = RenderSettings(samples_per_pixel=2, max_ray_depth=4,
+                                env_importance_sampling=True)
+    m = b.add_material(MixMaterial(
+        MixMaterial(Lambertian((0.7, 0.4, 0.3)),
+                    Metal((0.9, 0.9, 0.9), 0.2), 0.5),
+        Lambertian((0.2, 0.5, 0.8)), 0.5))
+    rs = np.random.RandomState(0)
+    for _ in range(40):
+        p = rs.uniform(-2, 2, 3)
+        b.add_sphere((p[0], p[1] * 0.5, p[2] * 0.5), 0.25, m)
+    b.background = Background.skymap_from_array(img)
+    s = b.build(with_bvh=True)
+    assert PK.supports_bvh(s) and PK._mixn_cfg(s)[1] == 2
+    xla = np.asarray(render_linear(s, 10, 10, seed=0, engine="xla"))
+    bvh = np.asarray(render_linear(s, 10, 10, seed=0,
+                                   engine="pallas_bvh"))
+    mismatched = (~np.isclose(xla, bvh, atol=1e-4, rtol=1e-3)).mean()
+    assert mismatched <= 0.08, f"{mismatched:.4f} channels differ"
 
 
 def test_mixn_bvh_generations_bitwise():
